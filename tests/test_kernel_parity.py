@@ -1,0 +1,241 @@
+"""Differential tests: sage_spark kernel vs the reference extractor on
+identical inputs and identical dimension data.
+
+This is the P/R >= 0.95 gate from BASELINE.json, enforced at P/R = 1.0 on a
+broad sentence battery (every extractor type, every temporal form, pronoun
+rules, dimension tie-breaks) plus the reference's own documents_ui corpus.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import pytest
+
+from sage_spark.kernel.claims import extract_claims, promotable
+from sage_spark.kernel.entities import EntityCatalog, MessageContext
+from sage_spark.kernel.temporal import resolve_temporal
+from sage_spark.kernel.text import clean_message_text
+
+from .ref_oracle import RefSession, load_reference_saia
+
+saia = load_reference_saia()
+
+PERSONS = [
+    {"id": "EMP001", "name": "Alice Johnson", "email": "alice@example.com", "is_user": True},
+    {"id": "EMP002", "name": "Bob Smith", "email": "bob@example.com", "is_user": True},
+    {"id": "EMP003", "name": "Carol Williams", "email": "carol@example.com", "is_user": False},
+    {"id": "EMP004", "name": "David Lee", "email": "david@example.com", "is_user": False},
+    {"id": "EMP005", "name": "Eva Brown", "email": "eva@example.com", "is_user": False},
+    # duplicate-name pair exercising the preferred-record tie-break (J5)
+    {"id": "external-george", "name": "George Brown", "email": "", "is_user": False},
+    {"id": "7", "name": "George Brown", "email": "george@example.com", "is_user": True},
+    {"id": "u1", "name": "", "email": "", "is_user": True},
+    {"id": "u2", "name": "", "email": "", "is_user": True},
+]
+GROUPS = [{"id": "g1", "name": "Core Team"}]
+
+CATALOG = EntityCatalog(PERSONS, GROUPS)
+REF_SESSION = RefSession(PERSONS, GROUPS)
+
+DIRECT = dict(
+    sender_id="u1",
+    receiver_ids=["u2"],
+    conversation_id="direct:u1:u2",
+    conversation_type="direct",
+    group_id=None,
+)
+GROUP = dict(
+    sender_id="u1",
+    receiver_ids=["u2", "u3"],
+    conversation_id="group:g1",
+    conversation_type="group",
+    group_id="g1",
+)
+
+SENTENCES = [
+    "I'll send you the report tomorrow.",
+    "I'll be sharing the report to you by 8pm today.",
+    "I'll be sharing the report to you by 8pm today. For Project Alpha.",
+    "Correction: I'll send you the Project Alpha budget by 9pm tomorrow instead.",
+    "Bob now reports to Alice.",
+    "Bob Smith reports to Alice Johnson.",
+    "George Brown now reports to Carol Williams.",
+    "EMP002 reports to EMP001.",
+    "Can you send the file?",
+    "Could you review the budget sheet?",
+    "We have a meeting tomorrow at 10.",
+    "Let's meet next Monday.",
+    "Can we meet with David Lee on 2026-05-04?",
+    "The quarterly review is scheduled.",
+    "The server is down.",
+    "The deployment pipeline is on track.",
+    "Project Phoenix is delayed.",
+    "The API gateway is degraded.",
+    "Bob is assigned to Project A.",
+    "Carol Williams is currently working on the data warehouse migration.",
+    "Bob is no longer working on Project A.",
+    "EMP004 is no longer assigned to the hiring committee.",
+    "The budget is approved.",
+    "Finance approved the travel request.",
+    "Alice Johnson authorized the purchase order.",
+    "The security plan is authorised.",
+    "David will prepare the slides by next Friday.",
+    "EMP003 must update the dashboard in 2 days.",
+    "Eva Brown should confirm the venue with Bob Smith.",
+    "I will deliver the final build at 11:30 am tomorrow.",
+    "I'll discuss the roadmap with you next Tuesday.",
+    "I'll schedule a sync for the launch; regarding Project Phoenix.",
+    "I'll review it tomorrow.",
+    "It is approved.",
+    "We are blocked.",
+    "I'll send Carol Williams the summary in 3 weeks.",
+    "Status check: the ingestion job is pending. Also, the backfill is complete.",
+    "Bob reports to Alice now.",
+    "Nothing actionable here, just chatting about lunch.",
+    "Meet me at the cafe.",  # meet-verb without scheduling words
+    "I'll provide the credentials to EMP002 by 5pm.",
+    "the release is approved",
+    "I will send you the doc today at 4pm and Bob must review the doc tomorrow.",
+]
+
+CONTEXT_VARIANTS = [
+    ("direct", DIRECT, "2026-04-01T10:00:00Z", "chat_message"),
+    ("group", GROUP, "2026-04-13T13:23:17Z", "chat_message"),
+    ("attachment", DIRECT, "2026-04-01T10:00:00Z", "message_attachment"),
+]
+
+_VOLATILE_FIELDS = {"created_at"}
+
+
+def _ref_context(base: dict, sent_at: str, kind: str, doc_id: str) -> "saia.GroundingContext":
+    return saia.GroundingContext(
+        source_kind=kind,
+        source_doc_id=doc_id,
+        source_message_id=doc_id.replace("chat-msg-", ""),
+        linked_message_id=None,
+        sent_at=sent_at,
+        source=kind,
+        **base,
+    )
+
+
+def _our_context(base: dict, sent_at: str, kind: str, doc_id: str) -> MessageContext:
+    return MessageContext(
+        doc_id=doc_id,
+        sender_id=base["sender_id"],
+        receiver_ids=tuple(base["receiver_ids"]),
+        message_id=doc_id.replace("chat-msg-", ""),
+        conversation_id=base["conversation_id"],
+        conversation_type=base["conversation_type"],
+        group_id=base["group_id"],
+        sent_at=sent_at,
+        source=kind,
+        source_kind=kind,
+    )
+
+
+def _comparable(claim: dict) -> dict:
+    return {k: v for k, v in claim.items() if k not in _VOLATILE_FIELDS}
+
+
+def _reference_claims(text: str, ctx, session) -> list[dict]:
+    cleaned = saia._prepare_text(text)
+    claims = saia.extract_claims_from_text(cleaned, ctx, session=session)
+    for claim in claims:
+        claim["claim_id"] = saia._make_claim_id(ctx, claim)
+        claim["canonical_key"] = saia._build_canonical_key(claim)
+    return [_comparable(c) for c in claims]
+
+
+def _our_claims(text: str, ctx: MessageContext, catalog) -> list[dict]:
+    cleaned = clean_message_text(text)
+    return [_comparable(c) for c in extract_claims(cleaned, ctx, catalog)]
+
+
+@pytest.mark.parametrize("sentence", SENTENCES)
+@pytest.mark.parametrize("variant", CONTEXT_VARIANTS, ids=[v[0] for v in CONTEXT_VARIANTS])
+def test_claim_parity_with_dimension(sentence, variant):
+    _, base, sent_at, kind = variant
+    doc_id = "chat-msg-mX" if kind == "chat_message" else "message-attachment-mX"
+    expected = _reference_claims(sentence, _ref_context(base, sent_at, kind, doc_id), REF_SESSION)
+    actual = _our_claims(sentence, _our_context(base, sent_at, kind, doc_id), CATALOG)
+    assert actual == expected
+
+
+@pytest.mark.parametrize("sentence", SENTENCES)
+def test_claim_parity_without_dimension(sentence):
+    """session=None in the reference == catalog=None here."""
+    doc_id = "chat-msg-mY"
+    expected = _reference_claims(sentence, _ref_context(DIRECT, "2026-04-01T10:00:00Z", "chat_message", doc_id), None)
+    actual = _our_claims(sentence, _our_context(DIRECT, "2026-04-01T10:00:00Z", "chat_message", doc_id), None)
+    assert actual == expected
+
+
+def test_documents_ui_corpus_parity():
+    """The reference's own test documents: P/R must be 1.0 (claims compared
+    field-for-field, not just (subj, pred, obj))."""
+    corpus = sorted(Path("/root/reference/data/documents_ui").glob("*.txt"))
+    assert corpus
+    ref_total = 0
+    for path in corpus:
+        if "ID Mappings" in path.name:
+            continue
+        text = path.read_text(encoding="utf-8")
+        doc_id = f"message-attachment-{path.stem}"
+        expected = _reference_claims(
+            text, _ref_context(DIRECT, "2026-04-01T10:00:00Z", "message_attachment", doc_id), REF_SESSION
+        )
+        actual = _our_claims(
+            text, _our_context(DIRECT, "2026-04-01T10:00:00Z", "message_attachment", doc_id), CATALOG
+        )
+        ref_total += len(expected)
+        assert actual == expected, path.name
+    assert ref_total > 0
+
+
+TEMPORAL_CASES = [
+    ("next Monday", "2026-04-01T10:00:00Z"),
+    ("next wednesday", "2026-04-01T10:00:00Z"),
+    ("tomorrow", "2026-12-31T23:30:00Z"),
+    ("yesterday", "2026-01-01T00:30:00Z"),
+    ("today at 8pm", "2026-04-01T10:00:00Z"),
+    ("by 12am tomorrow", "2026-04-01T10:00:00Z"),
+    ("by 12pm tomorrow", "2026-04-01T10:00:00Z"),
+    ("at 99 tomorrow", "2026-04-01T10:00:00Z"),
+    ("in 3 days", "2026-04-01T10:00:00Z"),
+    ("in 2 weeks", "2026-04-01T10:00:00Z"),
+    ("on 2026-07-04 at 9:15 am", "2026-04-01T10:00:00Z"),
+    ("now", "2026-04-01T10:00:00+05:30"),
+    ("no time here", "2026-04-01T10:00:00Z"),
+    ("at 10", "2026-04-01T10:00:00Z"),
+    ("next monday at 7:45pm", "2026-04-06T10:00:00Z"),
+]
+
+
+@pytest.mark.parametrize("text,anchor", TEMPORAL_CASES)
+def test_temporal_parity(text, anchor):
+    assert resolve_temporal(text, anchor) == saia.normalize_temporal_reference(text, anchor)
+
+
+def test_promotion_gate_parity():
+    ctx_ours = _our_context(DIRECT, "2026-04-01T10:00:00Z", "chat_message", "chat-msg-p1")
+    ctx_ref = _ref_context(DIRECT, "2026-04-01T10:00:00Z", "chat_message", "chat-msg-p1")
+    for sentence in SENTENCES:
+        ours = [promotable(c) for c in _our_claims(sentence, ctx_ours, CATALOG)]
+        ref = [
+            saia.should_promote_claim(c)
+            for c in _reference_claims(sentence, ctx_ref, REF_SESSION)
+        ]
+        assert ours == ref, sentence
+
+
+def test_prepare_text_parity():
+    samples = [
+        "Hello “world” — it’s fine.\n> quoted reply\nOn Mon, Apr 1, Alice wrote:\nbody  text",
+        "line1\n\n>quote\nline2",
+        "  spaced\tout\ttext  ",
+    ]
+    for s in samples:
+        assert clean_message_text(s) == saia._prepare_text(s)
