@@ -1,0 +1,239 @@
+"""Kernel tests: chunker parity with the reference, fact-mutation scenarios
+from the reference test suite, page-text determinism."""
+
+from __future__ import annotations
+
+import ast
+import hashlib
+from pathlib import Path
+
+import pytest
+
+from sage_spark.kernel.chunks import chunk_text, content_doc_id, sentence_split
+from sage_spark.kernel.claims import extract_claims
+from sage_spark.kernel.entities import MessageContext
+from sage_spark.kernel.facts import fact_identity, replay_key_mutations
+from sage_spark.kernel.pagetext import parse_id_mappings, parse_message_headers, text_from_html
+
+
+def _reference_chunker():
+    """Compile only chunk_document out of the reference source (its module
+    imports neo4j/pypdf which are absent here)."""
+    source = Path("/root/reference/app/utils.py").read_text()
+    tree = ast.parse(source)
+    fn = next(n for n in tree.body if isinstance(n, ast.FunctionDef) and n.name == "chunk_document")
+    namespace: dict = {"re": __import__("re"), "List": list}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), "utils.py", "exec"), namespace)
+    return namespace["chunk_document"]
+
+
+REF_CHUNK = _reference_chunker()
+
+_WORDS = ("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+
+
+def _synth_text(n_sentences: int, words_per_sentence: int, seed: int) -> str:
+    out = []
+    for i in range(n_sentences):
+        n = 1 + (seed + i * 7) % words_per_sentence
+        words = [_WORDS[(seed + i + j) % len(_WORDS)] for j in range(n)]
+        out.append(" ".join(words) + ("." if i % 3 else "!"))
+    return " ".join(out)
+
+
+@pytest.mark.parametrize("n,wps,seed", [(0, 5, 1), (1, 3, 2), (5, 10, 3), (40, 30, 4), (200, 60, 5), (12, 300, 6)])
+@pytest.mark.parametrize("budget,overlap", [(250, 2), (20, 2), (50, 1), (10, 5)])
+def test_chunker_parity(n, wps, seed, budget, overlap):
+    text = _synth_text(n, wps, seed)
+    assert chunk_text(text, budget, overlap) == REF_CHUNK(text, budget, overlap)
+
+
+def test_doc_id_is_sha256():
+    assert content_doc_id("hello") == hashlib.sha256(b"hello").hexdigest()
+
+
+def test_sentence_split_matches_reference_regex():
+    text = "One. Two!  Three? Four"
+    assert sentence_split(text) == ["One.", "Two!", "Three?", "Four"]
+
+
+# --- fact mutation scenarios (reference tests/test_saia.py:386-534,694-793) ---
+
+DIRECT_CTX = MessageContext(
+    doc_id="chat-msg-m1",
+    sender_id="u1",
+    receiver_ids=("u2",),
+    message_id="m1",
+    conversation_id="direct:u1:u2",
+    conversation_type="direct",
+    group_id=None,
+    sent_at="2026-04-01T10:00:00Z",
+)
+
+
+def _claims_for(text: str, ctx: MessageContext = DIRECT_CTX):
+    return extract_claims(text, ctx, None, created_at="2026-04-01T10:00:01+00:00")
+
+
+def test_insert_new_fact_for_direct_commitment():
+    claims = _claims_for("I'll send you the report tomorrow.")
+    out = replay_key_mutations([], claims, "2026-04-01T10:00:02+00:00")
+    assert out.canonicalized == 1 and out.conflicts == 0
+    current = [f for f in out.facts if f["status"] == "current"]
+    assert len(current) == 1
+    fact = current[0]
+    assert fact["canonical_key"] == "assignment::direct:u1:u2::send-report"
+    assert fact["subject_entity_id"] == "u1"
+    assert fact["object_entity_id"] == "u2"
+    assert fact["temporal_start"] == "2026-04-02"
+    assert fact["support_count"] == 1
+    assert out.claim_updates[0]["mutation_action"] == "insert_new_fact"
+    assert out.claim_updates[0]["promotion_status"] == "promoted"
+    assert out.edges == [
+        {"claim_id": claims[0]["claim_id"], "fact_id": fact["fact_id"], "relation_type": "SUPPORTS"}
+    ]
+
+
+def test_confirm_existing_identical_fact():
+    existing = {
+        "fact_id": "fact-existing",
+        "canonical_key": "assignment::direct:u1:u2::send-report",
+        "claim_type": "TASK_ASSIGNMENT",
+        "predicate": "TASK_COMMITMENT",
+        "subject_entity_id": "u1",
+        "subject_key": "u1",
+        "object_entity_id": "u2",
+        "object_key": "u2",
+        "value_text": "send report",
+        "temporal_start": "2026-04-02",
+        "temporal_granularity": "date",
+        "status": "current",
+        "support_count": 1,
+    }
+    claims = _claims_for("I'll send you the report tomorrow.")
+    out = replay_key_mutations([existing], claims, "2026-04-03T09:00:00+00:00")
+    assert out.canonicalized == 1 and out.conflicts == 0
+    assert [f["fact_id"] for f in out.facts] == ["fact-existing"]
+    assert out.facts[0]["support_count"] == 2
+    assert out.facts[0]["last_seen_at"] == "2026-04-03T09:00:00+00:00"
+    assert out.claim_updates[0]["mutation_action"] == "confirm_existing_fact"
+    assert out.claim_updates[0]["promotion_status"] == "confirmed"
+
+
+def test_supersede_conflicting_reports_to():
+    existing = {
+        "fact_id": "fact-old",
+        "canonical_key": "reports_to::bob",
+        "claim_type": "REPORTS_TO",
+        "predicate": "REPORTS_TO",
+        "subject_entity_id": None,
+        "subject_key": "bob",
+        "object_entity_id": None,
+        "object_key": "alice",
+        "value_text": None,
+        "temporal_start": None,
+        "temporal_granularity": "unresolved",
+        "status": "current",
+        "support_count": 3,
+    }
+    # without a catalog both sides resolve to slugs; canonical_confidence 0.55
+    # fails the gate, so force a resolvable claim via EMP ids instead
+    claims = _claims_for("EMP002 now reports to EMP003.")
+    for c in claims:
+        c["canonical_key"] = "reports_to::bob"  # collide with the stored key
+    out = replay_key_mutations([existing], claims, "2026-04-05T00:00:00+00:00")
+    assert out.canonicalized == 1 and out.conflicts == 1
+    old = next(f for f in out.facts if f["fact_id"] == "fact-old")
+    new = next(f for f in out.facts if f["fact_id"] != "fact-old")
+    assert old["status"] == "superseded"
+    assert old["superseded_by_fact_id"] == new["fact_id"]
+    assert new["status"] == "current"
+    rels = {(e["fact_id"], e["relation_type"]) for e in out.edges}
+    assert (new["fact_id"], "SUPPORTS") in rels and ("fact-old", "CONTRADICTS") in rels
+    assert out.claim_updates[0]["mutation_action"] == "supersede_current_fact"
+
+
+def test_request_claim_never_touches_facts():
+    claims = _claims_for("Can you send the file?")
+    out = replay_key_mutations([], claims, "2026-04-01T10:00:02+00:00")
+    assert out.canonicalized == 0
+    assert out.facts == [] and out.edges == []
+    assert out.claim_updates[0]["mutation_action"] == "not_promoted"
+    assert out.claim_updates[0]["promotion_status"] == "skipped_noncanonical"
+
+
+def test_pending_review_on_multiple_current_facts():
+    base = {
+        "canonical_key": "status::server::general",
+        "claim_type": "STATUS_UPDATE",
+        "predicate": "STATUS",
+        "subject_entity_id": None,
+        "subject_key": "server",
+        "object_entity_id": None,
+        "object_key": None,
+        "value_text": "up",
+        "temporal_start": None,
+        "temporal_granularity": "unresolved",
+        "status": "current",
+        "support_count": 1,
+    }
+    existing = [dict(base, fact_id="f1"), dict(base, fact_id="f2", value_text="degraded")]
+    claims = _claims_for("The server is down.")
+    out = replay_key_mutations(existing, claims, "2026-04-06T00:00:00+00:00")
+    assert out.canonicalized == 0 and out.conflicts == 1
+    assert out.claim_updates[0]["mutation_action"] == "pending_review"
+    assert {"claim_id": claims[0]["claim_id"], "fact_id": "f1", "relation_type": "CONTRADICTS"} in out.edges
+
+
+def test_within_batch_sequence_insert_then_supersede():
+    first = _claims_for("Bob is assigned to Project A.")
+    second = _claims_for(
+        "Bob is no longer working on Project A.",
+        MessageContext(
+            doc_id="chat-msg-m2",
+            sender_id="u1",
+            receiver_ids=("u2",),
+            message_id="m2",
+            conversation_id="direct:u1:u2",
+            conversation_type="direct",
+            group_id=None,
+            sent_at="2026-04-02T10:00:00Z",
+        ),
+    )
+    out = replay_key_mutations([], first + second, "2026-04-06T00:00:00+00:00")
+    assert out.canonicalized == 2 and out.conflicts == 1
+    states = sorted((f["value_text"], f["status"]) for f in out.facts)
+    assert states == [("active", "superseded"), ("inactive", "current")]
+
+
+def test_fact_identity_formula():
+    assert fact_identity("c1", "k1") == hashlib.sha256(b"fact::c1::k1").hexdigest()
+
+
+# --- page text / sources -------------------------------------------------------
+
+def test_html_text_extraction_is_deterministic_and_skips_script():
+    html = (
+        "<html><head><title>T</title><script>var x=1;</script></head>"
+        "<body><p>Hello   <b>world</b>.</p><div>Second &amp; third</div></body></html>"
+    ).encode()
+    text = text_from_html(html)
+    assert text == "Hello world.\nSecond & third"
+    assert text_from_html(html) == text
+
+
+def test_id_mapping_parse_matches_reference_corpus():
+    text = Path("/root/reference/data/documents_ui/ID Mappings.txt").read_text()
+    rows = parse_id_mappings(text)
+    assert rows[0] == {"id": "EMP001", "name": "Alice Johnson", "role": "Project Manager"}
+    assert len(rows) == 5
+
+
+def test_message_header_parse():
+    text = "Sender ID: EMP001\nReceiver: EMP002, EMP004\nSubject: Kickoff\nMessage: Hello team\nsecond line\nSent Time: 2026-04-01T10:00:00Z\n"
+    parsed = parse_message_headers(text)
+    assert parsed["sender"] == "EMP001"
+    assert parsed["receivers"] == ["EMP002", "EMP004"]
+    assert parsed["subject"] == "Kickoff"
+    assert parsed["content"] == "Hello team\nsecond line"
+    assert parsed["timestamp"] == "2026-04-01T10:00:00Z"
