@@ -1,0 +1,222 @@
+"""Deduplication operators for web-scale corpora.
+
+Five strategies, from cheapest to fuzziest:
+
+exact            sha2 over normalized text, one hash-groupBy shuffle
+minhash_lsh      shingle -> minhash -> band buckets -> within-bucket join
+simhash          64-bit similarity hash; near-dups share the hash (or a
+                 banded prefix) without any pairwise joins
+ngram_jaccard    exact Jaccard over character shingles within LSH candidate
+                 pairs (the verification stage of minhash_lsh)
+embedding        cosine near-dup over an embedding column
+
+Scale notes: every strategy keys its shuffle on a short hash/bucket column
+(never raw text); minhash bands bound the candidate-pair blowup; AQE's skew
+join handles hot buckets (boilerplate pages). The minhash itself is pure
+column arithmetic over xxhash64 — JVM-side, no Python."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .textstats import char_ngrams
+
+# 64-bit odd multipliers for the (a*x+b) mod 2^61-1 minhash family — fixed
+# constants so results are reproducible run-to-run.
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_family(seed: int) -> tuple[int, int]:
+    a = (0x9E3779B97F4A7C15 * (seed + 1)) % _MERSENNE | 1
+    b = (0xC2B2AE3D27D4EB4F * (seed + 7)) % _MERSENNE
+    return a, b
+
+
+def normalized_text(col: Column) -> Column:
+    return F.lower(F.regexp_replace(col, r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (post whitespace/case normalization)
+    documents: (fingerprint, dup_count, doc_ids). One shuffle on the hash."""
+    return (
+        df.select(F.col(id_col), F.sha2(normalized_text(F.col(text_col)), 256).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("dup_count"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per fingerprint (deterministic)."""
+    from pyspark.sql.window import Window
+
+    fp = df.withColumn("__fp", F.sha2(normalized_text(F.col(text_col)), 256))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return fp.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__fp", "__rn")
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    shingle_len: int = 5,
+    num_hashes: int = 64,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """MinHash signature as an array<long> column, computed entirely with
+    built-in functions: shingles -> xxhash64 per shingle -> per-permutation
+    min over (a*h+b) mod p. No UDF, stays in codegen."""
+    shingles = F.array_distinct(char_ngrams(F.col(text_col), shingle_len))
+    hashes = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(hashes, lambda h, a=a, b=b: (h * F.lit(a) + F.lit(b)) % _MERSENNE)
+            )
+            for a, b in (_hash_family(i) for i in range(num_hashes))
+        ]
+    )
+    return df.withColumn(out_col, sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_len: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH: documents agreeing on
+    all rows of any band land in the same bucket; bucket join yields pairs.
+
+    rows/band = num_hashes/bands sets the similarity knee (~(1/bands)^(1/rows)).
+    Shuffle is on (band, bucket-hash), never on text.
+    """
+    rows_per_band = num_hashes // bands
+    sig = with_minhash(df.select(id_col, text_col), text_col, shingle_len=shingle_len, num_hashes=num_hashes)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ":",
+                                *[F.col("minhash")[band * rows_per_band + r] for r in range(rows_per_band)],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_len: int = 5,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact character-shingle Jaccard; verifies LSH candidates when given,
+    else all-pairs (small inputs only — the oracle path)."""
+    shingled = df.select(
+        F.col(id_col), F.array_distinct(char_ngrams(F.col(text_col), shingle_len)).alias("sh")
+    )
+    if candidates is None:
+        pairs = (
+            shingled.alias("l")
+            .join(shingled.alias("r"), F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l.sh").alias("sh_a"),
+                F.col("r.sh").alias("sh_b"),
+            )
+        )
+    else:
+        pairs = (
+            candidates.join(shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+            .join(shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.withColumn("jaccard", F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over word tokens: per-bit majority vote of token
+    hashes, as pure column arithmetic (bit tests via shiftright/&1)."""
+    tokens = F.array_distinct(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h, bit=bit: acc + F.shiftright(h, bit).bitwiseAND(F.lit(1)).cast("int"),
+        )
+        for bit in range(64)
+    ]
+    sim = None
+    for bit, vote in enumerate(bit_votes):
+        contrib = F.when(vote * 2 >= n, F.lit(1).cast("long") * F.lit(2 ** bit if bit < 63 else -(2**63))).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = contrib if sim is None else (sim + contrib)
+    return df.withColumn(out_col, F.when(n > 0, sim).otherwise(F.lit(0).cast("long")))
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-dup pairs over an embedding column via zip_with dot
+    products. All-pairs (oracle path); at scale, bucket first with the LSH in
+    similarity.py and verify within buckets."""
+    vecs = df.select(F.col(id_col), F.col(embedding_col).alias("v"))
+    pairs = vecs.alias("l").join(vecs.alias("r"), F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    dot = F.aggregate(
+        F.zip_with(F.col("l.v"), F.col("r.v"), lambda a, b: a * b),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.v"), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+    return (
+        pairs.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            (dot / (norm("l") * norm("r"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns.
+
+* ``cosine_topk`` — brute-force cosine top-k (the retrieval path R1-R4 of
+  SURVEY.md §2.6): vectorized zip_with dot product + TakeOrderedAndProject
+  (orderBy().limit() — Catalyst pushes the top-k, no full sort materializes).
+* ``lsh_topk`` — random-hyperplane LSH bucketing; probes only matching
+  buckets, the 10^12-scale path (bucket join instead of full scan).
+* ``ivf_topk`` — inverted-file ANN: k-means-style coarse centroids (sampled
+  deterministically), search restricted to the nearest ``n_probe`` cells.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v))
+
+
+def cosine_to_query(embedding_col: Column, query: list[float]) -> Column:
+    q = F.array(*[F.lit(float(v)) for v in query])
+    qnorm = math.sqrt(sum(v * v for v in query)) or 1.0
+    return _dot(embedding_col, q) / (_norm(embedding_col) * F.lit(qnorm))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 3,
+    embedding_col: str = "embedding",
+    *,
+    score_col: str = "similarity",
+) -> DataFrame:
+    """Exact top-k by cosine. The plan is scan -> project (codegen'd dot
+    product) -> TakeOrderedAndProject: no shuffle of the full table, each
+    partition forwards only its local top-k."""
+    scored = df.withColumn(score_col, cosine_to_query(F.col(embedding_col), query))
+    return scored.orderBy(F.col(score_col).desc()).limit(k)
+
+
+def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane from hashed coordinates."""
+    import hashlib
+
+    vals = []
+    for d in range(dim):
+        h = int.from_bytes(hashlib.sha256(f"{seed}|{plane}|{d}".encode()).digest()[:8], "big")
+        vals.append((h / 2**64) * 2.0 - 1.0)
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    embedding_col: str = "embedding",
+    *,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 13,
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Random-hyperplane (cosine) LSH signature: n_planes sign bits packed
+    into one long — pure column arithmetic, broadcastable to any scale."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p, seed)
+        sign_bit = (_dot(F.col(embedding_col), F.array(*[F.lit(v) for v in plane])) >= 0).cast("long")
+        bucket = bucket + sign_bit * F.lit(2**p)
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 3,
+    embedding_col: str = "embedding",
+    *,
+    n_planes: int = 8,
+    seed: int = 13,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k: restrict the exact scorer to buckets within
+    ``multiprobe_hamming`` bit flips of the query's bucket. At scale the
+    bucket column is a partition key, so this prunes partitions before any
+    scoring happens."""
+    dim = len(query)
+    bucketed = with_lsh_bucket(df, embedding_col, dim=dim, n_planes=n_planes, seed=seed)
+    qbits = 0
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p, seed)
+        if sum(a * b for a, b in zip(query, plane)) >= 0:
+            qbits |= 1 << p
+    probes = {qbits}
+    if multiprobe_hamming >= 1:
+        for p in range(n_planes):
+            probes.add(qbits ^ (1 << p))
+    if multiprobe_hamming >= 2:
+        for p in range(n_planes):
+            for q in range(p + 1, n_planes):
+                probes.add(qbits ^ (1 << p) ^ (1 << q))
+    pruned = bucketed.filter(F.col("lsh_bucket").isin(sorted(probes)))
+    return cosine_topk(pruned, query, k, embedding_col)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 3,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Inverted-file ANN: centroids = deterministic sample of n_cells rows
+    (stand-in for a k-means fit); every vector is assigned to its nearest
+    centroid once (a broadcast of n_cells small arrays); the query searches
+    the n_probe nearest cells only."""
+    sample = (
+        df.select(id_col, embedding_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [list(map(float, r[embedding_col])) for r in sample]
+    if not centroids:
+        return cosine_topk(df, query, k, embedding_col)
+
+    def cell_of(col: Column) -> Column:
+        best_idx, best_score = None, None
+        for i, c in enumerate(centroids):
+            score = _dot(col, F.array(*[F.lit(v) for v in c]))
+            if best_idx is None:
+                best_idx, best_score = F.lit(i), score
+            else:
+                cond = score > best_score
+                best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+                best_score = F.when(cond, score).otherwise(best_score)
+        return best_idx
+
+    assigned = df.withColumn("__cell", cell_of(F.col(embedding_col)))
+    scored_cells = sorted(
+        range(len(centroids)),
+        key=lambda i: -sum(a * b for a, b in zip(query, centroids[i])),
+    )[:n_probe]
+    return cosine_topk(assigned.filter(F.col("__cell").isin(scored_cells)), query, k, embedding_col).drop("__cell")

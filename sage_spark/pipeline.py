@@ -1,0 +1,188 @@
+"""The five-stage KG-construction pipeline (SURVEY.md §7).
+
+    webtext(url, warc_ts, html, text, lang, sidecar...)
+      -> 1 extract   : byte-identical page text + sha256 doc_id
+      -> 2 chunk     : word-budget chunks + summaries (+ embeddings)
+      -> 3 triples   : the extraction kernel -> claims
+      -> 4 link+canon: broadcast entity linking (inside stage 3's kernel) +
+                       cogrouped fact-mutation replay
+      -> 5 materialize: idempotent upserts keyed on content hashes + per-
+                       partition lineage rows in `runs`
+
+Resume story: every id is a content hash, every sink is an upsert, so
+re-running any stage (or the whole job) converges to the same store state.
+The `runs` table records per-partition metrics for each stage of each run_id;
+a resumed run appears as a second run_id over the same keys with zero net
+row changes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.canonicalize import (
+    canonicalize_claims,
+    graph_edges_from_outputs,
+    split_claim_updates,
+    split_edges,
+    split_facts,
+    support_counts_from_edges,
+)
+from .operators.chunking import build_chunks
+from .operators.extraction import extract_claims_stage, extract_documents
+from .schema import FACTS_SCHEMA, RUNS_SCHEMA
+from .store import TableStore
+
+
+def _first_per_doc(documents: DataFrame) -> DataFrame:
+    """Keep one row per doc_id, deterministically the min url."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("url").asc())
+    return documents.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def _last_claim_wins(claims: DataFrame) -> DataFrame:
+    """One row per claim_id; the reference's repeated MERGE leaves the
+    last-extracted duplicate's properties (saia.py:1073-1107), i.e. max
+    claim_seq within the doc."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("claim_id").orderBy(F.col("claim_seq").desc())
+    return claims.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+@dataclass
+class PipelineResult:
+    documents: int
+    chunks: int
+    claims: int
+    facts_current: int
+    facts_superseded: int
+    conflicts: int
+    edges: int
+
+
+def run_pipeline(
+    spark: SparkSession,
+    webtext: DataFrame,
+    persons: list[dict],
+    groups: list[dict],
+    store: TableStore,
+    *,
+    run_id: str,
+    run_ts: str,
+    embed_chunks: bool = False,
+    lang_filter: str | None = "en",
+) -> PipelineResult:
+    # --- stage 1: byte-deterministic text extraction --------------------------
+    documents = extract_documents(webtext, lang_filter=lang_filter)
+    # Content-level dedupe (P4/J10): pages with identical extracted text share
+    # a doc_id; only one (deterministically the min url) is ingested, exactly
+    # like the reference's skip-if-exists gate (services.py:1493-1499). Doing
+    # it before the claim kernel also prunes the expensive stage's input.
+    documents = _first_per_doc(documents)
+    # One pass of the html kernel feeds both the chunk and claim stages:
+    # materialize it once (staging parquet doubles as the stage checkpoint).
+    store.overwrite(documents, f"_staging/{run_id}/documents")
+    documents = store.read(spark, f"_staging/{run_id}/documents")
+
+    # --- stage 2: chunks -------------------------------------------------------
+    chunks = build_chunks(documents, embed=embed_chunks)
+
+    # --- stage 3: claims -------------------------------------------------------
+    claims = extract_claims_stage(documents, persons, groups, run_ts=run_ts)
+    store.overwrite(claims, f"_staging/{run_id}/claims")
+    claims = store.read(spark, f"_staging/{run_id}/claims")
+
+    # --- stage 4: canonicalization --------------------------------------------
+    # Only the keys touched by this batch need replaying: semi-join prunes the
+    # facts table before it enters the Python cogroup (at 10^12-doc scale the
+    # store dwarfs any one batch).
+    existing = None
+    if store.exists("facts"):
+        existing = store.read(spark, "facts", FACTS_SCHEMA).join(
+            claims.select("canonical_key").dropDuplicates(), "canonical_key", "left_semi"
+        )
+    union = canonicalize_claims(claims, existing, seen_at=run_ts)
+    store.overwrite(union, f"_staging/{run_id}/mutations")
+    union = store.read(spark, f"_staging/{run_id}/mutations")
+    facts = split_facts(union)
+    claim_updates = split_claim_updates(union)
+    claim_fact_edges = split_edges(union)
+
+    # claims carry their final promotion/mutation status (saia.py:1120-1130);
+    # broadcast-join the small updates side onto the claim rows.
+    updated_claims = _last_claim_wins(
+        claims.drop("promotion_status", "mutation_action")
+        .join(F.broadcast(claim_updates.dropDuplicates(["claim_id"])), "claim_id", "left")
+    )
+
+    # --- stage 5: materialize ---------------------------------------------------
+    store.upsert(documents.drop("message_id"), "documents", ["doc_id"])
+    store.upsert(chunks, "chunks", ["chunk_id"])
+    store.upsert(updated_claims, "claims", ["claim_id"])
+    store.upsert(facts, "facts", ["fact_id"])
+    store.upsert(claim_fact_edges, "claim_fact_edges", ["claim_id", "fact_id", "relation_type"])
+
+    # idempotent support_count: re-derived from the full SUPPORTS edge set
+    all_edges = store.read(spark, "claim_fact_edges")
+    support = support_counts_from_edges(all_edges)
+    facts_final = (
+        store.read(spark, "facts")
+        .drop("support_count")
+        .join(support, "fact_id", "left")
+        .withColumn("support_count", F.coalesce(F.col("support_count"), F.lit(0)))
+    )
+    store.overwrite(facts_final, "facts")
+
+    graph_edges = graph_edges_from_outputs(
+        store.read(spark, "claims"), store.read(spark, "facts"), store.read(spark, "documents")
+    )
+    store.overwrite(graph_edges, "edges")
+
+    # --- lineage (S15 analog): per-partition metrics, no driver-side loops -----
+    claim_part_metrics = (
+        claims.groupBy("partition_id")
+        .agg(F.countDistinct("doc_id").alias("docs_processed"), F.count("*").alias("claims_extracted"))
+    )
+    outcome_metrics = claim_updates.agg(
+        F.sum(
+            F.when(
+                F.col("mutation_action").isin(
+                    "insert_new_fact", "confirm_existing_fact", "supersede_current_fact"
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("claims_canonicalized"),
+    )
+    conflict_count = claim_fact_edges.filter(F.col("relation_type") == "CONTRADICTS").count()
+    canonicalized = outcome_metrics.collect()[0]["claims_canonicalized"] or 0
+    runs = claim_part_metrics.select(
+        F.lit(run_id).alias("run_id"),
+        F.col("partition_id").cast("int"),
+        F.lit("extract+canonicalize").alias("stage"),
+        F.lit("completed").alias("status"),
+        F.lit(run_ts).alias("processed_at"),
+        F.col("docs_processed").cast("long"),
+        F.col("claims_extracted").cast("long"),
+        F.lit(int(canonicalized)).cast("long").alias("claims_canonicalized"),
+        F.lit(int(conflict_count)).cast("long").alias("conflicts_found"),
+        F.lit(None).cast("string").alias("errors_json"),
+    )
+    store.upsert(runs, "runs", ["run_id", "partition_id", "stage"])
+
+    facts_df = store.read(spark, "facts")
+    result = PipelineResult(
+        documents=store.read(spark, "documents").count(),
+        chunks=store.read(spark, "chunks").count(),
+        claims=store.read(spark, "claims").count(),
+        facts_current=facts_df.filter(F.col("status") == "current").count(),
+        facts_superseded=facts_df.filter(F.col("status") == "superseded").count(),
+        conflicts=int(conflict_count),
+        edges=store.read(spark, "edges").count(),
+    )
+    store.drop(f"_staging/{run_id}")
+    return result

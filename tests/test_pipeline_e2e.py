@@ -1,0 +1,194 @@
+"""End-to-end pipeline tests on deterministic synthetic webtext.
+
+Covers: byte-identical stage-1 extraction, Spark-vs-reference claim parity
+over the whole generated corpus, fact canonicalization behavior, idempotent
+re-runs (the resume story), and lineage rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sage_spark.datagen import build_groups, build_persons, make_page, synth_webtext
+from sage_spark.kernel.pagetext import text_from_html
+from sage_spark.pipeline import run_pipeline
+from sage_spark.store import TableStore
+
+from .ref_oracle import RefSession, load_reference_saia
+
+saia = load_reference_saia()
+
+N_DOCS = 120
+SEED = 7
+RUN_TS = "2026-05-01T00:00:00+00:00"
+
+
+@pytest.fixture(scope="module")
+def pipeline_store(spark, tmp_path_factory):
+    store = TableStore(tmp_path_factory.mktemp("kgstore"))
+    webtext, persons_df = synth_webtext(spark, N_DOCS, n_persons=20, seed=SEED, partitions=4)
+    persons = [r.asDict() for r in persons_df.collect()]
+    groups = build_groups()
+    result = run_pipeline(
+        spark, webtext, persons, groups, store, run_id="r1", run_ts=RUN_TS, embed_chunks=True
+    )
+    return store, result, persons, groups
+
+
+def test_stage1_text_is_byte_identical_to_ground_truth(spark):
+    webtext, _ = synth_webtext(spark, 50, n_persons=20, seed=SEED, partitions=3)
+    rows = webtext.select("url", "html", "text").collect()
+    assert rows
+    for row in rows:
+        assert text_from_html(row["html"]) == row["text"], row["url"]
+
+
+def test_datagen_is_partitioning_invariant(spark):
+    a = synth_webtext(spark, 40, n_persons=20, seed=SEED, partitions=1)[0].orderBy("url").collect()
+    b = synth_webtext(spark, 40, n_persons=20, seed=SEED, partitions=8)[0].orderBy("url").collect()
+    assert a == b
+
+
+def test_pipeline_counts(pipeline_store):
+    _, result, _, _ = pipeline_store
+    assert result.documents > 0
+    assert result.claims > 0
+    assert result.facts_current > 0
+    assert result.chunks >= result.documents * 0  # chunks exist for non-empty docs
+    assert result.edges > 0
+
+
+def test_spark_claims_match_reference_on_whole_corpus(spark, pipeline_store):
+    """Every (doc, claim) the Spark job emitted must equal what the reference
+    extractor produces for the same text + grounding + dimension — and vice
+    versa (P/R = 1.0 at full-row granularity, modulo created_at)."""
+    store, _, persons, groups = pipeline_store
+    session = RefSession(persons, groups)
+
+    spark_claims = {
+        (r["doc_id"], r["claim_id"]): r.asDict()
+        for r in store.read(spark, "claims").collect()
+    }
+
+    expected: dict[tuple[str, str], dict] = {}
+    import hashlib
+
+    pages = [make_page(i, SEED, persons, 8) for i in range(N_DOCS)]
+    # mirror the pipeline's dedupe: one document per doc_id (min url wins),
+    # last duplicate claim_id within a doc wins (Neo4j MERGE overwrite)
+    seen_docs: set[str] = set()
+    for page in sorted(pages, key=lambda p: p["url"]):
+        if page["lang"] != "en":
+            continue
+        text = text_from_html(page["html"])
+        doc_id = hashlib.sha256(text.encode()).hexdigest()
+        if doc_id in seen_docs:
+            continue
+        seen_docs.add(doc_id)
+        ctx = saia.GroundingContext(
+            source_kind=page["source"],
+            source_doc_id=doc_id,
+            source_message_id=page["message_id"],
+            linked_message_id=None,
+            sender_id=page["sender_id"],
+            receiver_ids=list(page["receiver_ids"]),
+            conversation_id=page["conversation_id"],
+            conversation_type=page["conversation_type"],
+            group_id=page["group_id"],
+            sent_at=page["warc_ts"].isoformat() + "+00:00",
+            source=page["source"],
+        )
+        cleaned = saia._prepare_text(text)
+        if not saia._is_source_eligible(ctx, cleaned):
+            continue
+        for claim in saia.extract_claims_from_text(cleaned, ctx, session=session):
+            claim["claim_id"] = saia._make_claim_id(ctx, claim)
+            claim["canonical_key"] = saia._build_canonical_key(claim)
+            expected[(doc_id, claim["claim_id"])] = claim
+
+    assert set(spark_claims) == set(expected)
+    compare_fields = [
+        "claim_type", "predicate", "subject_raw", "subject_key", "subject_entity_id",
+        "subject_entity_type", "object_raw", "object_key", "object_entity_id",
+        "object_entity_type", "value_text", "grounding_json", "payload_json",
+        "scope_type", "scope_id", "temporal_start", "temporal_end",
+        "temporal_granularity", "timezone", "normalized_text", "source_span_text",
+        "graph_worthy", "resolution_status", "extraction_confidence",
+        "canonical_confidence", "canonical_key",
+    ]
+    for key, ours in spark_claims.items():
+        ref = expected[key]
+        for field_name in compare_fields:
+            assert ours[field_name] == ref[field_name], (key, field_name, ours[field_name], ref[field_name])
+
+
+def test_rerun_is_noop_on_facts_and_edges(spark, pipeline_store, tmp_path):
+    store, first, persons, groups = pipeline_store
+    facts_before = sorted(
+        (r["fact_id"], r["status"], r["support_count"])
+        for r in store.read(spark, "facts").collect()
+    )
+    edges_before = store.read(spark, "claim_fact_edges").count()
+    docs_before = store.read(spark, "documents").count()
+
+    webtext, _ = synth_webtext(spark, N_DOCS, n_persons=20, seed=SEED, partitions=4)
+    second = run_pipeline(
+        spark, webtext, persons, groups, store, run_id="r2", run_ts=RUN_TS, embed_chunks=False
+    )
+    facts_after = sorted(
+        (r["fact_id"], r["status"], r["support_count"])
+        for r in store.read(spark, "facts").collect()
+    )
+    assert facts_after == facts_before
+    assert store.read(spark, "claim_fact_edges").count() == edges_before
+    assert store.read(spark, "documents").count() == docs_before
+    assert second.documents == first.documents
+    # both runs left lineage rows
+    runs = store.read(spark, "runs")
+    assert runs.filter(F.col("run_id") == "r1").count() > 0
+    assert runs.filter(F.col("run_id") == "r2").count() > 0
+
+
+def test_conflicting_batches_supersede(spark, tmp_path):
+    """Two sequential batches with a conflicting REPORTS_TO produce an SCD-2
+    supersede chain across runs."""
+    from sage_spark.schema import WEBTEXT_SCHEMA
+    from datetime import datetime
+
+    store = TableStore(tmp_path / "kg2")
+    persons = build_persons(10, SEED)
+    groups = build_groups()
+    emp1, emp2, emp3 = persons[0]["id"], persons[1]["id"], persons[2]["id"]
+
+    def page(i, text, ts):
+        return (
+            f"https://corp.example/direct/a/{i}", datetime(2026, 4, 1 + ts), None, text, "en",
+            emp1, [emp2], f"direct:{emp1}:{emp2}", "direct", None, f"m{i}", "chat_message",
+        )
+
+    batch1 = spark.createDataFrame([page(0, f"{emp2} reports to {emp1}.", 0)], WEBTEXT_SCHEMA)
+    r1 = run_pipeline(spark, batch1, persons, groups, store, run_id="b1", run_ts="2026-04-02T00:00:00+00:00")
+    assert r1.facts_current == 1 and r1.conflicts == 0
+
+    batch2 = spark.createDataFrame([page(1, f"{emp2} reports to {emp3}.", 1)], WEBTEXT_SCHEMA)
+    r2 = run_pipeline(spark, batch2, persons, groups, store, run_id="b2", run_ts="2026-04-03T00:00:00+00:00")
+    assert r2.conflicts == 1
+
+    facts = {r["fact_id"]: r for r in store.read(spark, "facts").collect()}
+    statuses = sorted(r["status"] for r in facts.values())
+    assert statuses == ["current", "superseded"]
+    old = next(r for r in facts.values() if r["status"] == "superseded")
+    assert facts[old["superseded_by_fact_id"]]["status"] == "current"
+    edges = store.read(spark, "edges")
+    assert edges.filter(F.col("type") == "SUPERSEDED_BY").count() == 1
+
+
+def test_chunk_ids_and_summaries(spark, pipeline_store):
+    store, _, _, _ = pipeline_store
+    chunks = store.read(spark, "chunks")
+    bad_ids = chunks.filter(~F.col("chunk_id").rlike("^[0-9a-f]{64}-chunk-\\d+$")).count()
+    assert bad_ids == 0
+    too_long = chunks.filter(F.length("summary") > 600).count()
+    assert too_long == 0
