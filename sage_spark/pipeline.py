@@ -84,6 +84,14 @@ def run_pipeline(
     # like the reference's skip-if-exists gate (services.py:1493-1499). Doing
     # it before the claim kernel also prunes the expensive stage's input.
     documents = _first_per_doc(documents)
+    # Skip-if-exists (P4/J10, services.py:1493-1499): documents already in the
+    # store are never re-chunked or re-extracted — THIS is the resume
+    # mechanism. A re-run (or a replayed partition) anti-joins to nothing and
+    # the whole job is a no-op.
+    if store.exists("documents"):
+        documents = documents.join(
+            store.read(spark, "documents").select("doc_id"), "doc_id", "left_anti"
+        )
     # One pass of the html kernel feeds both the chunk and claim stages:
     # materialize it once (staging parquet doubles as the stage checkpoint).
     store.overwrite(documents, f"_staging/{run_id}/documents")
@@ -172,7 +180,28 @@ def run_pipeline(
         F.lit(int(conflict_count)).cast("long").alias("conflicts_found"),
         F.lit(None).cast("string").alias("errors_json"),
     )
-    store.upsert(runs, "runs", ["run_id", "partition_id", "stage"])
+    # run-level summary row (partition_id = -1): present even for a no-op
+    # resume, so every run_id is visible in lineage
+    ingested_docs = documents.count()
+    claims_total = claims.count()
+    summary = spark.createDataFrame(
+        [
+            (
+                run_id,
+                -1,
+                "run_summary",
+                "completed",
+                run_ts,
+                int(ingested_docs),
+                int(claims_total),
+                int(canonicalized),
+                int(conflict_count),
+                None,
+            )
+        ],
+        RUNS_SCHEMA,
+    )
+    store.upsert(runs.unionByName(summary), "runs", ["run_id", "partition_id", "stage"])
 
     facts_df = store.read(spark, "facts")
     result = PipelineResult(
