@@ -165,8 +165,9 @@ def q_join_top_brands_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no high-value order (left anti join, P4/J10 pattern)."""
     customer = _read(spark, sf_dir, "customer")
-    orders = _read(spark, sf_dir, "orders")
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return (
         customer.join(orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
         .select("c_custkey", "c_name")
@@ -176,7 +177,7 @@ def q_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFra
 
 def q_semi_suppliers_with_recent_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = _read(spark, sf_dir, "supplier")
-    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= F.lit("2024-01-01"))
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= F.lit("2001-11-01"))
     return (
         supplier.join(li.select(F.col("l_suppkey").alias("s_suppkey")), "s_suppkey", "left_semi")
         .select("s_suppkey", "s_name")
@@ -481,13 +482,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anti_customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
             ORDER BY c_custkey
         """,
         "semi_suppliers_with_recent_shipments": """
             SELECT s_suppkey, s_name FROM supplier
             WHERE s_suppkey IN (
-                SELECT l_suppkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '2024-01-01'
+                SELECT l_suppkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-11-01'
             )
             ORDER BY s_suppkey
         """,

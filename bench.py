@@ -1,0 +1,104 @@
+"""Per-round benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the end-to-end wall time of the KG-construction
+pipeline (triple extraction + canonicalization) over a deterministic
+synthetic webtext corpus, plus per-query timings for the relational /
+text / dedup / similarity operators on the driver-provided tables.
+Extra keys: docs_per_sec (the BASELINE.json throughput metric), kg_docs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from sage_spark.session import build_spark  # noqa: E402
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_kg_bench(spark, n_docs: int) -> dict:
+    from sage_spark.datagen import build_groups, synth_webtext
+    from sage_spark.operators.canonicalize import canonicalize_claims, split_facts
+    from sage_spark.operators.extraction import extract_claims_stage, extract_documents
+
+    webtext, persons_df = synth_webtext(spark, n_docs, n_persons=200, seed=7)
+    webtext = webtext.localCheckpoint(eager=True)  # materialize input; time the engine, not the generator
+    persons = [r.asDict() for r in persons_df.collect()]
+
+    t0 = time.perf_counter()
+    docs = extract_documents(webtext, lang_filter="en")
+    claims = extract_claims_stage(docs, persons, build_groups(), run_ts="2026-05-01T00:00:00+00:00")
+    union = canonicalize_claims(claims, None, seen_at="2026-05-01T00:00:00+00:00")
+    facts = split_facts(union)
+    n_facts = facts.count()
+    elapsed = time.perf_counter() - t0
+    return {"kg_seconds": elapsed, "kg_docs": n_docs, "kg_facts": n_facts, "docs_per_sec": n_docs / elapsed}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    kg_docs = int(os.environ.get("SAGE_BENCH_KG_DOCS", "12000"))
+    spark = build_spark(app_name="sage-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus) * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    headline = [
+        "agg_pricing_summary",
+        "join_revenue_by_nation",
+        "join_top_brands_by_revenue",
+        "window_top_order_per_customer",
+        "agg_event_type_daily",
+        "text_quality",
+        "text_language_id",
+        "dedup_exact_keep",
+        "dedup_minhash_candidates",
+        "sim_cosine_topk",
+        "sim_lsh_topk",
+    ]
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    kg = run_kg_bench(spark, kg_docs)
+    timings["kg_pipeline"] = round(kg["kg_seconds"], 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "docs_per_sec": round(kg["docs_per_sec"], 1),
+        "kg_docs": kg["kg_docs"],
+        "kg_facts": kg["kg_facts"],
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

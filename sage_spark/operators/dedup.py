@@ -21,15 +21,16 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .textstats import char_ngrams
 
-# 64-bit odd multipliers for the (a*x+b) mod 2^61-1 minhash family — fixed
-# constants so results are reproducible run-to-run.
-_MERSENNE = (1 << 61) - 1
+# (a*x+b) mod 2^31-1 minhash family. The field is 31-bit so every
+# intermediate product stays < 2^62 and never overflows a Spark LongType
+# under ANSI arithmetic. Constants are fixed so results are reproducible.
+_MERSENNE = (1 << 31) - 1
 
 
 def _hash_family(seed: int) -> tuple[int, int]:
-    a = (0x9E3779B97F4A7C15 * (seed + 1)) % _MERSENNE | 1
+    a = (0x9E3779B97F4A7C15 * (seed + 1)) % _MERSENNE
     b = (0xC2B2AE3D27D4EB4F * (seed + 7)) % _MERSENNE
-    return a, b
+    return (a or 1), b
 
 
 def normalized_text(col: Column) -> Column:
@@ -68,12 +69,14 @@ def with_minhash(
     built-in functions: shingles -> xxhash64 per shingle -> per-permutation
     min over (a*h+b) mod p. No UDF, stays in codegen."""
     shingles = F.array_distinct(char_ngrams(F.col(text_col), shingle_len))
-    hashes = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
+    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+    def _perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % _MERSENNE
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(hashes, lambda h, a=a, b=b: (h * F.lit(a) + F.lit(b)) % _MERSENNE)
-            )
+            F.array_min(F.transform(hashes, _perm(a, b)))
             for a, b in (_hash_family(i) for i in range(num_hashes))
         ]
     )
@@ -175,14 +178,11 @@ def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash"
     tokens = F.array_distinct(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)))
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
     n = F.size(hashes)
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, bit=bit: acc + F.shiftright(h, bit).bitwiseAND(F.lit(1)).cast("int"),
-        )
-        for bit in range(64)
-    ]
+
+    def _vote(bit: int):
+        return lambda acc, h: acc + F.shiftright(h, bit).bitwiseAND(F.lit(1)).cast("int")
+
+    bit_votes = [F.aggregate(hashes, F.lit(0), _vote(bit)) for bit in range(64)]
     sim = None
     for bit, vote in enumerate(bit_votes):
         contrib = F.when(vote * 2 >= n, F.lit(1).cast("long") * F.lit(2 ** bit if bit < 63 else -(2**63))).otherwise(

@@ -1,0 +1,204 @@
+"""Distributed read-side retrieval (R1-R9 of SURVEY.md §2.6) over the
+materialized KG tables.
+
+The whole query path is a declarative DataFrame program: cosine scoring via
+zip_with dot products, top-k via orderBy().limit() (Catalyst's
+TakeOrderedAndProject — partitions forward only their local top-k), rank
+boosts as column arithmetic, merge/dedupe as a window. Classification and
+focus terms run driver-side on the (single) query string via the kernel —
+they are O(query length), not data-sized.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..kernel.embed import hash_embedding
+from ..kernel.retrieval import (
+    FACT_PRIORITY_QUERY_TYPES,
+    RECENCY_BOOST_MAX,
+    RECENCY_DECAY_DAYS,
+    TASK_LIKE_FACT_TYPES,
+    classify_query,
+    focus_terms,
+)
+from .similarity import cosine_to_query
+
+
+def _recency_boost_col(ts_col, now: datetime):
+    age_days = (F.lit(now.timestamp()) - F.unix_timestamp(F.to_timestamp(ts_col))) / F.lit(86400.0)
+    clamped = F.greatest(age_days, F.lit(0.0))
+    return F.when(
+        ts_col.isNotNull(), F.lit(RECENCY_BOOST_MAX) * F.exp(-clamped / F.lit(RECENCY_DECAY_DAYS))
+    ).otherwise(F.lit(0.0))
+
+
+def _focus_score_col(haystack, terms: list[str]):
+    if not terms:
+        return F.lit(0)
+    lowered = F.lower(haystack)
+    score = F.lit(0)
+    for term in terms:
+        score = score + F.when(lowered.contains(term.lower()), 1).otherwise(0)
+    return score
+
+
+def retrieve(
+    chunks: DataFrame,
+    documents: DataFrame,
+    facts: DataFrame,
+    query_text: str,
+    *,
+    user_id: str | None = None,
+    now: datetime,
+    edges: DataFrame | None = None,
+    k: int = 5,
+    topk_per_source: int = 3,
+) -> DataFrame:
+    """End-to-end retrieval: classify -> embed -> R1/R3 cosine top-k ->
+    R6/R7 boosts -> R8 merge -> R9 combine -> top ``k``.
+
+    Returns (identifier, kind, rank_score, summary, doc_id).
+    """
+    qtype = classify_query(query_text)
+    terms = focus_terms(query_text)
+    qvec = hash_embedding(query_text)
+    reports_to_lookup = "reports to" in query_text.lower()
+    personalized = qtype in {"task_commitment_lookup", "personal_context"} and user_id is not None
+
+    # R1: chunk cosine top-k joined to its document (J1)
+    chunk_scored = (
+        chunks.filter(F.col("embedding").isNotNull())
+        .withColumn("similarity", cosine_to_query(F.col("embedding").cast("array<double>"), qvec))
+        .orderBy(F.col("similarity").desc())
+        .limit(topk_per_source)
+        .join(
+            documents.select("doc_id", "subject", "sender", "timestamp"),
+            "doc_id",
+            "left",
+        )
+    )
+    if user_id is not None and edges is not None:
+        # R2/J2: restrict to documents the user touches (semi-join)
+        user_docs = (
+            edges.filter(
+                ((F.col("type") == "SENT") & (F.col("src") == user_id))
+                | ((F.col("type") == "RECEIVED_BY") & (F.col("dst") == user_id))
+            )
+            .select(
+                F.when(F.col("type") == "SENT", F.col("dst")).otherwise(F.col("src")).alias("doc_id")
+            )
+            .distinct()
+        )
+        chunk_scored = chunk_scored.join(F.broadcast(user_docs), "doc_id", "left_semi").unionByName(
+            chunk_scored
+        ).dropDuplicates(["chunk_id"])
+
+    chunk_haystack = F.concat_ws(
+        " ",
+        F.coalesce(F.col("summary"), F.lit("")),
+        F.coalesce(F.col("subject"), F.lit("")),
+        F.coalesce(F.col("sender"), F.lit("")),
+        F.coalesce(F.col("doc_id"), F.lit("")),
+    )
+    chunk_fscore = _focus_score_col(chunk_haystack, terms)
+    chunk_rank = (
+        F.col("similarity")
+        + F.lit(0.35) * chunk_fscore
+        + (
+            F.when(F.lower(F.coalesce(F.col("summary"), F.lit(""))).contains("reports to"), 0.3).otherwise(0.0)
+            if reports_to_lookup
+            else F.lit(0.0)
+        )
+        + _recency_boost_col(F.col("timestamp"), now)
+    )
+    chunk_results = chunk_scored.select(
+        F.col("chunk_id").alias("identifier"),
+        F.lit("chunk").alias("kind"),
+        chunk_rank.alias("rank_score"),
+        F.col("summary"),
+        F.col("doc_id"),
+    )
+
+    # R3: fact cosine top-k over current facts
+    fact_base = facts.filter(F.col("status") == "current")
+    fact_scored = (
+        fact_base.filter(F.col("embedding").isNotNull())
+        .withColumn("similarity", cosine_to_query(F.col("embedding").cast("array<double>"), qvec))
+        .orderBy(F.col("similarity").desc())
+        .limit(topk_per_source)
+    ) if "embedding" in facts.columns else fact_base.withColumn("similarity", F.lit(0.0)).limit(0)
+
+    # R4: exact personal task-facts (no embedding needed)
+    if personalized:
+        exact = (
+            fact_base.filter(F.col("claim_type").isin(sorted(TASK_LIKE_FACT_TYPES)))
+            .filter(
+                (F.col("subject_entity_id") == user_id)
+                | (F.col("subject_key") == user_id)
+                | (F.col("object_entity_id") == user_id)
+                | (F.col("object_key") == user_id)
+            )
+            .orderBy(F.coalesce("last_seen_at", "first_seen_at", F.lit("")).desc())
+            .limit(5)
+            .withColumn("similarity", F.lit(1.0))
+            .withColumn("__exact", F.lit(True))
+        )
+        fact_scored = fact_scored.withColumn("__exact", F.lit(False)).unionByName(
+            exact, allowMissingColumns=True
+        ).dropDuplicates(["fact_id"])
+    else:
+        fact_scored = fact_scored.withColumn("__exact", F.lit(False))
+
+    fact_haystack = F.concat_ws(
+        " ",
+        *[
+            F.coalesce(F.col(c), F.lit(""))
+            for c in ("summary", "canonical_key", "subject_key", "subject_entity_id", "object_key", "object_entity_id", "claim_type")
+        ],
+    )
+    fact_fscore = _focus_score_col(fact_haystack, terms)
+    fact_rank = (
+        F.col("similarity")
+        + F.lit(0.05)  # status == current by construction
+        + F.when(F.col("__exact"), 0.75).otherwise(0.0)
+        + (
+            F.when(F.col("claim_type").isin(sorted(TASK_LIKE_FACT_TYPES)), 0.35).otherwise(0.0)
+            if qtype in FACT_PRIORITY_QUERY_TYPES
+            else F.lit(0.0)
+        )
+        + (
+            F.when(F.lower(F.coalesce(F.col("subject_entity_id"), F.col("subject_key"))) == (user_id or "").lower(), 0.25)
+            .when(F.lower(F.coalesce(F.col("object_entity_id"), F.col("object_key"))) == (user_id or "").lower(), 0.1)
+            .otherwise(0.0)
+            if personalized
+            else F.lit(0.0)
+        )
+        + F.lit(0.35) * fact_fscore
+        + (
+            F.when(F.col("claim_type") == "REPORTS_TO", 0.4).otherwise(0.0)
+            if reports_to_lookup
+            else F.lit(0.0)
+        )
+        + _recency_boost_col(F.coalesce("last_seen_at", "first_seen_at"), now)
+    )
+    fact_results = fact_scored.select(
+        F.col("fact_id").alias("identifier"),
+        F.lit("fact").alias("kind"),
+        fact_rank.alias("rank_score"),
+        F.col("summary"),
+        F.lit(None).cast("string").alias("doc_id"),
+    )
+
+    # R8: dedupe by identifier keeping max rank; R9: combine + global top-k
+    combined = chunk_results.unionByName(fact_results)
+    w = Window.partitionBy("identifier").orderBy(F.col("rank_score").desc())
+    return (
+        combined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy(F.col("rank_score").desc(), F.col("identifier").asc())
+        .limit(k)
+    )

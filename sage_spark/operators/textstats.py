@@ -105,9 +105,9 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fing
 
 
 def char_ngrams(col: Column, n: int = 5) -> Column:
-    """Array of character n-grams (shingles) of the lowercased text; built-in
-    sequence/transform — stays in codegen."""
-    lowered = F.lower(col)
+    """Array of character n-grams (shingles) of the whitespace-normalized,
+    lowercased text; built-in sequence/transform — stays in codegen."""
+    lowered = F.lower(F.regexp_replace(col, r"\s+", " "))
     length = F.length(lowered)
     return F.when(length < n, F.array(lowered)).otherwise(
         F.transform(F.sequence(F.lit(1), length - n + 1), lambda i: lowered.substr(i, F.lit(n)))

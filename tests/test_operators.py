@@ -1,0 +1,213 @@
+"""Unit tests for the training-data operators: dedup families, similarity
+search, text stats, linking, connected components, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sage_spark.kernel.embed import hash_embedding
+from sage_spark.operators.components import canonical_entity_components, connected_components
+from sage_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_dedup,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    with_minhash,
+    with_simhash,
+)
+from sage_spark.operators.linking import link_mentions_exact, link_mentions_lsh
+from sage_spark.operators.multimodal import MEDIA_SCHEMA, extract_image_features, sample_video_frames
+from sage_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk
+from sage_spark.operators.textstats import with_fingerprint, with_language_id, with_quality_stats
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog and runs into the forest."),
+    (2, "The quick brown fox jumps over the lazy dog and runs into the woods."),  # near-dup of 1
+    (3, "the   QUICK brown fox jumps over the lazy dog and runs into the forest."),  # exact dup of 1 (norm)
+    (4, "Completely different content about database engines and query planners."),
+    (5, "Der Hund läuft nicht mit der Katze und das ist ein Problem für die Gruppe."),
+    (6, "Le chat est dans la maison et les enfants sont pour une fois dans le jardin."),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_exact_dedup(spark, docs_df):
+    groups = exact_duplicates(docs_df, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert sorted(groups[0]["doc_ids"]) == [1, 3]
+    kept = {r["doc_id"] for r in exact_dedup(docs_df, "text", "doc_id").collect()}
+    assert kept == {1, 2, 4, 5, 6}
+
+
+def test_minhash_similar_docs_share_buckets(spark, docs_df):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs_df, bands=16, num_hashes=64).collect()}
+    assert (1, 3) in pairs  # identical after normalization
+    assert (1, 2) in pairs  # near-dup
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_signature_deterministic(spark, docs_df):
+    a = with_minhash(docs_df).orderBy("doc_id").collect()
+    b = with_minhash(docs_df.repartition(5)).orderBy("doc_id").collect()
+    assert [r["minhash"] for r in a] == [r["minhash"] for r in b]
+
+
+def test_ngram_jaccard(spark, docs_df):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs_df, threshold=0.5).collect()}
+    assert pairs[(1, 3)] == 1.0
+    assert 0.5 <= pairs[(1, 2)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_simhash_close_for_near_dups(spark, docs_df):
+    rows = {r["doc_id"]: r["simhash"] for r in with_simhash(docs_df).collect()}
+    assert rows[1] == rows[3]
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(rows[1], rows[2]) < hamming(rows[1], rows[4])
+
+
+def test_embedding_near_duplicates_and_topk(spark):
+    vecs = [
+        (i, [float(v) for v in hash_embedding(f"doc {i // 2}", 16)])  # pairs (0,1),(2,3) share vectors
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    dups = {(r["id_a"], r["id_b"]) for r in embedding_near_duplicates(df, threshold=0.99, id_col="vec_id").collect()}
+    assert dups == {(0, 1), (2, 3), (4, 5)}
+
+    query = [float(v) for v in hash_embedding("doc 1", 16)]
+    top = cosine_topk(df, query, k=2).collect()
+    assert {r["vec_id"] for r in top} == {2, 3}
+    assert top[0]["similarity"] == pytest.approx(1.0)
+
+
+def test_lsh_and_ivf_topk_agree_with_exact(spark):
+    vecs = [(i, [float(v) for v in hash_embedding(f"v{i}", 32)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    query = [float(v) for v in hash_embedding("v17", 32)]
+    exact = [r["vec_id"] for r in cosine_topk(df, query, k=1).collect()]
+    approx = [r["vec_id"] for r in lsh_topk(df, query, k=1, n_planes=6, multiprobe_hamming=2).collect()]
+    assert exact == [17]
+    assert approx == [17]  # the exact-match vector lands in the query's bucket
+    ivf = [r["vec_id"] for r in ivf_topk(df, query, k=1, n_cells=8, n_probe=8).collect()]
+    assert ivf == [17]  # n_probe == n_cells -> exhaustive, must equal exact
+
+
+def test_language_id(spark, docs_df):
+    rows = {r["doc_id"]: r["lang_pred"] for r in with_language_id(docs_df, "text").collect()}
+    assert rows[1] == "en" and rows[4] == "en"
+    assert rows[5] == "de"
+    assert rows[6] == "fr"
+
+
+def test_quality_stats_bounds(spark, docs_df):
+    rows = with_quality_stats(docs_df, "text").collect()
+    for r in rows:
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert r["n_tokens"] > 0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame([(1, "A  B\tC"), (2, "a b c")], "doc_id int, text string")
+    rows = with_fingerprint(df).collect()
+    assert rows[0]["fingerprint"] == rows[1]["fingerprint"]
+
+
+def test_connected_components_two_islands(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    comp = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert comp["a"] != comp["x"]
+
+
+def test_entity_components_bridge_same_person_keys(spark):
+    persons = spark.createDataFrame(
+        [
+            ("EMP001", "Alice Johnson", "PM", "alice@example.com", True),
+            ("EMP002", "Bob Smith", "Eng", "bob@example.com", False),
+        ],
+        "id string, name string, role string, email string, is_user boolean",
+    )
+    comp = {r["vertex"]: r["component"] for r in canonical_entity_components(persons).collect()}
+    assert comp["EMP001"] == comp["alice@example.com"] == comp["alice johnson"]
+    assert comp["EMP002"] == comp["bob@example.com"]
+    assert comp["EMP001"] != comp["EMP002"]
+
+
+def test_link_mentions_exact_tiebreak(spark):
+    persons = spark.createDataFrame(
+        [
+            ("external-george", "George Brown", "x", "", False),
+            ("7", "George Brown", "y", "george@example.com", True),
+            ("EMP001", "Alice Johnson", "PM", "alice@example.com", False),
+        ],
+        "id string, name string, role string, email string, is_user boolean",
+    )
+    mentions = spark.createDataFrame(
+        [("m1", "George Brown"), ("m2", "alice@example.com"), ("m3", "Nobody Known")],
+        "mention_id string, mention string",
+    )
+    out = {r["mention_id"]: r for r in link_mentions_exact(mentions, persons).collect()}
+    assert out["m1"]["entity_id"] == "7" and out["m1"]["match_status"] == "resolved"
+    assert out["m2"]["entity_id"] == "EMP001"
+    assert out["m3"]["entity_id"] is None and out["m3"]["match_status"] == "unmatched"
+
+
+def test_link_mentions_exact_salted_matches_plain(spark):
+    persons = spark.createDataFrame(
+        [("EMP001", "Alice Johnson", "PM", "alice@example.com", False)],
+        "id string, name string, role string, email string, is_user boolean",
+    )
+    mentions = spark.createDataFrame(
+        [(f"m{i}", "Alice Johnson") for i in range(50)], "mention_id string, mention string"
+    )
+    plain = sorted((r["mention_id"], r["entity_id"]) for r in link_mentions_exact(mentions, persons).collect())
+    salted = sorted(
+        (r["mention_id"], r["entity_id"])
+        for r in link_mentions_exact(mentions, persons, salt_buckets=4, broadcast_dim=False).collect()
+    )
+    assert plain == salted
+
+
+def test_link_mentions_lsh_fuzzy(spark):
+    persons = spark.createDataFrame(
+        [("EMP001", "Alice Johnson", "PM", "a@x.com", False), ("EMP002", "Bob Smith", "Eng", "b@x.com", False)],
+        "id string, name string, role string, email string, is_user boolean",
+    )
+    mentions = spark.createDataFrame(
+        [("m1", "alice johnsen"), ("m2", "bob smith")], "mention_id string, mention string"
+    )
+    out = {r["mention_id"]: r["entity_id"] for r in link_mentions_lsh(mentions, persons, threshold=0.3).collect()}
+    assert out.get("m1") == "EMP001"
+    assert out.get("m2") == "EMP002"
+
+
+def test_multimodal_plumbing(spark):
+    media = spark.createDataFrame(
+        [
+            ("img-1", "d1", "image", "image/png", b"fakepng", None),
+            ("vid-1", "d2", "video", "video/mp4", b"fakevid", None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = extract_image_features(media).collect()
+    assert len(feats) == 1 and feats[0]["media_id"] == "img-1"
+    assert feats[0]["width"] > 0 and len(feats[0]["embedding"]) == 16
+    frames = sample_video_frames(media).collect()
+    assert frames and all(f["media_id"] == "vid-1" for f in frames)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_image_features(media, strict=True).collect()
