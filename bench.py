@@ -74,6 +74,11 @@ def main() -> None:
         "sim_lsh_topk",
     ]
     queries = entrymod.queries()
+    # warm up the JVM/codegen + python workers so one-shot timings measure
+    # the engine, not JIT cold start
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy("l_returnflag").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in headline:
         fn = queries[name]

@@ -40,8 +40,15 @@ MUTATION_UNION_SCHEMA = T.StructType(
 _UNION_COLS = [f.name for f in MUTATION_UNION_SCHEMA.fields]
 
 
-def _claims_sort_key(frame: pd.DataFrame) -> pd.DataFrame:
-    return frame.sort_values(["sent_at", "doc_id", "claim_seq"], kind="mergesort")
+_CLAIM_REPLAY_COLS = [
+    "canonical_key", "claim_id", "doc_id", "claim_seq", "sent_at", "claim_type",
+    "predicate", "subject_key", "subject_entity_id", "subject_entity_type",
+    "object_key", "object_entity_id", "object_entity_type", "value_text",
+    "payload_json", "normalized_text", "scope_type", "scope_id",
+    "temporal_start", "temporal_end", "temporal_granularity", "timezone",
+    "graph_worthy", "resolution_status", "promotion_status",
+    "canonical_confidence",
+]
 
 
 def canonicalize_claims(
@@ -52,32 +59,84 @@ def canonicalize_claims(
 ) -> DataFrame:
     """Replay mutations per canonical_key; returns the discriminated union
     (record_type in {fact, claim_update, edge}). Split with the helpers
-    below after materializing once."""
+    below after materializing once.
+
+    One shuffle: claims and existing facts are unioned with a kind tag,
+    hash-repartitioned on canonical_key and sorted within partitions by
+    (canonical_key, kind, sent_at, doc_id, claim_seq) — facts first, then
+    claims in deterministic arrival order. A single mapInPandas pass walks
+    each partition's sorted stream and replays group-by-group (group
+    boundaries handled across Arrow batches), so Python overhead is per
+    PARTITION, not per key — the difference between ~6k tiny UDF calls and
+    ~64 streaming ones at test scale, and the only layout that stays flat
+    at 10^12 keys."""
     spark = claims.sparkSession
     if existing_facts is None:
         existing_facts = spark.createDataFrame([], FACTS_SCHEMA)
 
-    def replay(key: tuple, claims_pdf: pd.DataFrame, facts_pdf: pd.DataFrame) -> pd.DataFrame:
-        ordered = _claims_sort_key(claims_pdf).to_dict("records")
-        # store order: first_seen then id — the deterministic stand-in for
-        # Neo4j's match order (only consulted on multi-current conflicts)
-        store = facts_pdf.sort_values(["first_seen_at", "fact_id"], kind="mergesort").to_dict("records")
-        out = replay_key_mutations(store, ordered, seen_at)
-        rows: list[dict] = []
-        for fact in out.facts:
-            row = {c: fact.get(c) for c in _FACT_COLS}
-            row["record_type"] = "fact"
-            rows.append(row)
-        for upd in out.claim_updates:
-            rows.append({"record_type": "claim_update", **upd})
-        for edge in out.edges:
-            rows.append({"record_type": "edge", **edge})
-        frame = pd.DataFrame(rows)
-        return frame.reindex(columns=_UNION_COLS)
+    claims_in = claims.select(
+        *_CLAIM_REPLAY_COLS, F.lit(1).alias("kind"), *[F.lit(None).cast(f.dataType).alias(f"fx_{f.name}") for f in FACTS_SCHEMA.fields]
+    )
+    facts_in = existing_facts.select(
+        F.col("canonical_key"),
+        *[F.lit(None).cast("string").alias(c) for c in _CLAIM_REPLAY_COLS if c not in (
+            "canonical_key", "claim_seq", "graph_worthy", "canonical_confidence")],
+        F.lit(None).cast("int").alias("claim_seq"),
+        F.lit(None).cast("boolean").alias("graph_worthy"),
+        F.lit(None).cast("double").alias("canonical_confidence"),
+        F.lit(0).alias("kind"),
+        *[F.col(f.name).alias(f"fx_{f.name}") for f in FACTS_SCHEMA.fields],
+    )
+    merged = claims_in.unionByName(facts_in)
+    sorted_stream = merged.repartition("canonical_key").sortWithinPartitions(
+        "canonical_key", "kind", "sent_at", "doc_id", "claim_seq"
+    )
 
-    grouped_claims = claims.groupBy("canonical_key")
-    grouped_facts = existing_facts.groupBy("canonical_key")
-    return grouped_claims.cogroup(grouped_facts).applyInPandas(replay, schema=MUTATION_UNION_SCHEMA)
+    fact_names = [f.name for f in FACTS_SCHEMA.fields]
+
+    def kernel(batches):
+        out_rows: list[dict] = []
+        key = None
+        facts_buf: list[dict] = []
+        claims_buf: list[dict] = []
+
+        def flush() -> None:
+            if key is None:
+                return
+            store = sorted(facts_buf, key=lambda r: (r.get("first_seen_at") or "", r.get("fact_id") or ""))
+            outcome = replay_key_mutations(store, claims_buf, seen_at)
+            for fact in outcome.facts:
+                row = {c: fact.get(c) for c in _FACT_COLS}
+                row["record_type"] = "fact"
+                out_rows.append(row)
+            for upd in outcome.claim_updates:
+                out_rows.append({"record_type": "claim_update", **upd})
+            for edge in outcome.edges:
+                out_rows.append({"record_type": "edge", **edge})
+
+        for batch in batches:
+            # normalize pandas NaN/NaT to None so the replay state machine
+            # sees the same nulls the reference sees
+            batch = batch.astype(object).where(pd.notnull(batch), None)
+            for rec in batch.to_dict("records"):
+                k = rec["canonical_key"]
+                if k != key:
+                    flush()
+                    key, facts_buf, claims_buf = k, [], []
+                if rec["kind"] == 0:
+                    facts_buf.append({name: rec[f"fx_{name}"] for name in fact_names})
+                else:
+                    claims_buf.append(rec)
+            if len(out_rows) >= 8192:
+                yield pd.DataFrame(out_rows).reindex(columns=_UNION_COLS)
+                out_rows = []
+        flush()
+        if out_rows:
+            yield pd.DataFrame(out_rows).reindex(columns=_UNION_COLS)
+        else:
+            yield pd.DataFrame(columns=_UNION_COLS)
+
+    return sorted_stream.mapInPandas(kernel, schema=MUTATION_UNION_SCHEMA)
 
 
 def split_facts(union: DataFrame) -> DataFrame:

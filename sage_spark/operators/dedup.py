@@ -57,30 +57,46 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return fp.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__fp", "__rn")
 
 
+def minhash_signature_wide(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_len: int = 5,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature as ``num_hashes`` concrete columns mh_0..mh_{n-1}.
+
+    Shape: explode shingles -> one xxhash per shingle row -> ONE groupBy with
+    num_hashes min() aggregates. All JVM-side; crucially the signature lands
+    in *materialized* aggregate columns, so downstream band expressions
+    reference cheap attributes instead of re-inlining the whole shingle
+    pipeline per reference (which blows up codegen — 100x slowdowns)."""
+    shingle_rows = df.select(
+        F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_len))).alias("__sh")
+    ).select(F.col(id_col), F.pmod(F.xxhash64("__sh"), F.lit(_MERSENNE)).alias("__h"))
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _hash_family(i)
+        aggs.append(F.min((F.col("__h") * F.lit(a) + F.lit(b)) % _MERSENNE).alias(f"mh_{i}"))
+    return shingle_rows.groupBy(id_col).agg(*aggs)
+
+
 def with_minhash(
     df: DataFrame,
     text_col: str = "text",
+    id_col: str = "doc_id",
     *,
     shingle_len: int = 5,
     num_hashes: int = 64,
     out_col: str = "minhash",
 ) -> DataFrame:
-    """MinHash signature as an array<long> column, computed entirely with
-    built-in functions: shingles -> xxhash64 per shingle -> per-permutation
-    min over (a*h+b) mod p. No UDF, stays in codegen."""
-    shingles = F.array_distinct(char_ngrams(F.col(text_col), shingle_len))
-    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-
-    def _perm(a: int, b: int):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % _MERSENNE
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(hashes, _perm(a, b)))
-            for a, b in (_hash_family(i) for i in range(num_hashes))
-        ]
+    """MinHash signature as a single array<long> column (joined back on id)."""
+    wide = minhash_signature_wide(df, text_col, id_col, shingle_len=shingle_len, num_hashes=num_hashes)
+    sig = wide.select(
+        F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias(out_col)
     )
-    return df.withColumn(out_col, sig)
+    return df.join(sig, id_col, "left")
 
 
 def minhash_lsh_candidates(
@@ -99,7 +115,9 @@ def minhash_lsh_candidates(
     Shuffle is on (band, bucket-hash), never on text.
     """
     rows_per_band = num_hashes // bands
-    sig = with_minhash(df.select(id_col, text_col), text_col, shingle_len=shingle_len, num_hashes=num_hashes)
+    sig = minhash_signature_wide(
+        df.select(id_col, text_col), text_col, id_col, shingle_len=shingle_len, num_hashes=num_hashes
+    )
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -110,7 +128,7 @@ def minhash_lsh_candidates(
                         F.xxhash64(
                             F.concat_ws(
                                 ":",
-                                *[F.col("minhash")[band * rows_per_band + r] for r in range(rows_per_band)],
+                                *[F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)],
                             )
                         ).alias("bucket"),
                     )
@@ -119,6 +137,8 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # the self-join's two sides are identical subplans; Spark's exchange
+    # reuse computes the signature aggregate once (ReusedExchange)
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -1,0 +1,118 @@
+"""Streaming tests: foreachBatch KG ingestion (availableNow trigger),
+watermarked windowed aggregation, stateful sessionization vs its batch
+oracle."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sage_spark.datagen import build_groups, synth_webtext
+from sage_spark.store import TableStore
+from sage_spark.streaming.events import batch_sessionize, sessionize_users, windowed_event_counts
+from sage_spark.streaming.ingest import start_kg_ingestion, stream_webtext_from_dir
+
+
+def test_streaming_kg_ingestion_matches_batch(spark, tmp_path):
+    webtext, persons_df = synth_webtext(spark, 60, n_persons=12, seed=7, partitions=2)
+    persons = [r.asDict() for r in persons_df.collect()]
+    input_dir = str(tmp_path / "incoming")
+    # three time-ordered file drops = three micro-batches (streaming replays
+    # in arrival order, which equals the batch pipeline's sent-at order only
+    # when arrivals are time-ordered — same as the reference's serial loop)
+    bounds = webtext.selectExpr(
+        "percentile_approx(warc_ts, 0.3333) AS p1", "percentile_approx(warc_ts, 0.6666) AS p2"
+    ).collect()[0]
+    splits = [
+        webtext.filter(F.col("warc_ts") <= bounds["p1"]),
+        webtext.filter((F.col("warc_ts") > bounds["p1"]) & (F.col("warc_ts") <= bounds["p2"])),
+        webtext.filter(F.col("warc_ts") > bounds["p2"]),
+    ]
+    for part in splits:
+        part.coalesce(1).write.mode("append").parquet(input_dir)
+
+    store = TableStore(tmp_path / "kgstream")
+    stream = stream_webtext_from_dir(spark, input_dir, max_files_per_trigger=1)
+    q = start_kg_ingestion(
+        stream, persons, build_groups(), store,
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(300)
+
+    # compare against the one-shot batch pipeline on the same input
+    from sage_spark.pipeline import run_pipeline
+
+    batch_store = TableStore(tmp_path / "kgbatch")
+    run_pipeline(
+        spark, webtext, persons, build_groups(), batch_store,
+        run_id="batch", run_ts="2026-05-01T00:00:00+00:00",
+    )
+    stream_claims = {r["claim_id"] for r in store.read(spark, "claims").collect()}
+    batch_claims = {r["claim_id"] for r in batch_store.read(spark, "claims").collect()}
+    assert stream_claims == batch_claims
+    assert store.read(spark, "documents").count() == batch_store.read(spark, "documents").count()
+    # current-fact sets agree (supersede ordering within identical sent_at
+    # sequences is deterministic either way)
+    sf = {(r["canonical_key"], r["value_text"]) for r in store.read(spark, "facts").filter(F.col("status") == "current").collect()}
+    bf = {(r["canonical_key"], r["value_text"]) for r in batch_store.read(spark, "facts").filter(F.col("status") == "current").collect()}
+    assert sf == bf
+    # lineage has one run per micro-batch
+    runs = store.read(spark, "runs").select("run_id").distinct().count()
+    assert runs >= 2
+
+
+def _event_rows():
+    base = datetime(2026, 4, 1, 10, 0, 0)
+    rows = []
+    for u in (1, 2):
+        for i in range(5):
+            rows.append((u, base + timedelta(minutes=10 * i), "click", 1.0))
+        rows.append((u, base + timedelta(hours=3), "click", 1.0))  # second session
+    return rows
+
+
+def test_windowed_event_counts_batch_semantics(spark):
+    events = spark.createDataFrame(_event_rows(), "user_id long, ts timestamp, event_type string, value double")
+    out = windowed_event_counts(events, window="1 hour", watermark="2 hours").collect()
+    assert sum(r["n"] for r in out) == events.count()
+    assert all(r["window_end"] > r["window_start"] for r in out)
+
+
+def test_batch_sessionize(spark):
+    events = spark.createDataFrame(_event_rows(), "user_id long, ts timestamp, event_type string, value double")
+    sessions = batch_sessionize(events, gap_seconds=1800).collect()
+    per_user = {}
+    for r in sessions:
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert {len(v) for v in per_user.values()} == {2}
+    first = sorted(per_user[1], key=lambda r: r["session_start"])[0]
+    assert first["n_events"] == 5
+
+
+def test_stateful_sessionize_stream_matches_batch_oracle(spark, tmp_path):
+    events = spark.createDataFrame(_event_rows(), "user_id long, ts timestamp, event_type string, value double")
+    src = str(tmp_path / "events")
+    events.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    sessions = sessionize_users(stream, gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM sess_out").collect()
+    # one closed session per user is emitted (the second stays open in state)
+    oracle = batch_sessionize(events, gap_seconds=1800)
+    first_sessions = {
+        (r["user_id"], r["n_events"])
+        for r in oracle.collect()
+        if r["session_id"] == 1
+    }
+    assert {(r["user_id"], r["n_events"]) for r in got} == first_sessions
