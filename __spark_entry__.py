@@ -215,6 +215,34 @@ def q_agg_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ist_display_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: render event timestamps in IST for display."""
+    from sage_spark.operators.graph import ist_display
+
+    events = _read(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") < 200).select(
+        "event_id", ist_display(F.col("ts")).alias("ist_time")
+    ).orderBy("event_id")
+
+
+def q_graph_one_hop_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: undirected one-hop expansion over a customer->order edge list."""
+    from sage_spark.operators.graph import expand_one_hop
+
+    orders = _read(spark, sf_dir, "orders")
+    edges = orders.select(
+        F.col("o_custkey").cast("string").alias("src"),
+        F.col("o_orderkey").cast("string").alias("dst"),
+        F.lit("PLACED").alias("type"),
+    )
+    seeds = (
+        _read(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 20)
+        .select(F.col("c_custkey").cast("string").alias("id"))
+    )
+    return expand_one_hop(seeds, edges).orderBy("seed", "neighbor", "direction")
+
+
 def q_recency_weighted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     anchor = F.to_date(F.lit("2026-01-01"))
@@ -400,6 +428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_degree_top_users": q_window_degree_top_users,
         "agg_event_type_daily": q_agg_event_type_daily,
         "recency_weighted_events": q_recency_weighted_events,
+        "ist_display_events": q_ist_display_events,
+        "graph_one_hop_orders": q_graph_one_hop_orders,
         # text analysis (DuckDB-oracled)
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -511,6 +541,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(ts AS DATE) AS day, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY day, event_type ORDER BY day, event_type
+        """,
+        "ist_display_events": """
+            SELECT event_id,
+                   strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Kolkata',
+                            '%Y-%m-%d %I:%M %p') || ' IST' AS ist_time
+            FROM events WHERE event_id < 200 ORDER BY event_id
+        """,
+        "graph_one_hop_orders": """
+            WITH seeds AS (SELECT CAST(c_custkey AS VARCHAR) AS seed FROM customer WHERE c_custkey < 20),
+            edges AS (SELECT CAST(o_custkey AS VARCHAR) AS src, CAST(o_orderkey AS VARCHAR) AS dst,
+                             'PLACED' AS type FROM orders)
+            SELECT DISTINCT * FROM (
+                SELECT seed, dst AS neighbor, type, 'out' AS direction FROM seeds JOIN edges ON seed = src
+                UNION ALL
+                SELECT seed, src AS neighbor, type, 'in' AS direction FROM seeds JOIN edges ON seed = dst
+            ) ORDER BY seed, neighbor, direction
         """,
         "recency_weighted_events": """
             SELECT user_id,

@@ -186,6 +186,57 @@ def select_answer_mode(query: str, trace: Optional[Dict[str, Any]] = None) -> Tu
     return "short", "direct_lookup"
 
 
+_HASH_RE = re.compile(r"[0-9a-f]{32,64}")
+_NUMERIC_RE = re.compile(r"[0-9]+")
+_HAS_ALPHA_RE = re.compile(r"[a-zA-Z]")
+ISO_OFFSET_TS_RE = re.compile(
+    r"\b\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:\d{2})\b"
+)
+
+
+def is_displayable_trace_entity(value: Any) -> bool:
+    """P8 (services.py:758-780): drop ids, hashes, machine keys from
+    user-facing trace output."""
+    text = str(value or "").strip()
+    if not text:
+        return False
+    lowered = text.lower()
+    if lowered in {"currentuser", "unknown", "node", "group", "sage"}:
+        return False
+    if lowered.startswith("chat message "):
+        return False
+    if lowered.startswith("chat-msg-") or "-chunk-" in lowered:
+        return False
+    if lowered.startswith(("assignment::", "meeting::", "reports_to::")):
+        return False
+    if lowered.startswith(("direct:", "group", "message-attachment-")):
+        return False
+    if _NUMERIC_RE.fullmatch(text):
+        return False
+    if _HASH_RE.fullmatch(lowered):
+        return False
+    return bool(_HAS_ALPHA_RE.search(text))
+
+
+def format_timestamp_ist(value: str) -> str:
+    """F6 (services.py:572-583): render an ISO timestamp as
+    '%Y-%m-%d %I:%M %p IST' (Asia/Kolkata); non-parseable input passes
+    through."""
+    from zoneinfo import ZoneInfo
+
+    parsed = parse_iso_any(value)
+    if parsed is None:
+        return value
+    return parsed.astimezone(ZoneInfo("Asia/Kolkata")).strftime("%Y-%m-%d %I:%M %p IST")
+
+
+def convert_iso_timestamps_to_ist(text: str) -> str:
+    """F6 presentation rule over free text (services.py:578-583)."""
+    if not text:
+        return text
+    return ISO_OFFSET_TS_RE.sub(lambda m: format_timestamp_ist(m.group(0)), text)
+
+
 def parse_iso_any(value: Any) -> Optional[datetime]:
     text = str(value or "").strip()
     if not text:

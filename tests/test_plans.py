@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: the properties that make the engine
+scale must stay in the plan (pushdown, pruning, broadcast, top-k pushdown,
+partial aggregation, filter-before-Python)."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entrymod
+from sage_spark.datagen import synth_webtext
+from sage_spark.operators.extraction import extract_documents
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _plan(spark, entrymod.queries()["join_revenue_by_nation"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, entrymod.queries()["sim_cosine_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scan_prunes_columns_and_pushes_filters(spark):
+    plan = _plan(spark, entrymod.queries()["agg_pricing_summary"](spark, SF))
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    read_cols = {c.split(":")[0] for c in read_schema.split(",")}
+    assert "l_orderkey" not in read_cols and "l_partkey" not in read_cols  # pruned
+    assert re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate", plan)
+    # map-side partial aggregation before the shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_anti_join_is_broadcast(spark):
+    plan = _plan(spark, entrymod.queries()["anti_customers_without_orders"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_lang_filter_runs_before_python_kernel(spark):
+    webtext, _ = synth_webtext(spark, 50, seed=7)
+    plan = _plan(spark, extract_documents(webtext, lang_filter="en"))
+    python_pos = plan.find("MapInPandas")
+    filter_pos = plan.find("Filter")
+    assert python_pos != -1 and filter_pos != -1
+    # In the formatted plan, upstream operators print with higher node ids /
+    # later positions; assert the filter is attached below the Python stage
+    # by checking the Python stage's input contains the filter node.
+    assert "lang" in plan[filter_pos : filter_pos + 400]
+
+
+def test_exchange_reuse_in_minhash_self_join(spark):
+    from pyspark.sql import functions as F
+
+    from sage_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
+    plan = _plan(spark, minhash_lsh_candidates(docs, "text", "doc_id"))
+    # pair generation is bucket-groupBy + array combinatorics, not a
+    # self-join: the signature pipeline is computed exactly once
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
