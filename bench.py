@@ -42,8 +42,14 @@ def run_kg_bench(spark, n_docs: int) -> dict:
     persons = [r.asDict() for r in persons_df.collect()]
 
     t0 = time.perf_counter()
-    docs = extract_documents(webtext, lang_filter="en")
-    claims = extract_claims_stage(docs, persons, build_groups(), run_ts="2026-05-01T00:00:00+00:00")
+    # Stage boundaries are materialized, mirroring the pipeline's staging
+    # writes: chaining several Python runners inside one Spark stage
+    # serializes poorly at high core counts (measured 3-5x), while separated
+    # stages scale linearly.
+    docs = extract_documents(webtext, lang_filter="en").localCheckpoint(eager=True)
+    claims = extract_claims_stage(
+        docs, persons, build_groups(), run_ts="2026-05-01T00:00:00+00:00"
+    ).localCheckpoint(eager=True)
     union = canonicalize_claims(claims, None, seen_at="2026-05-01T00:00:00+00:00")
     facts = split_facts(union)
     n_facts = facts.count()
@@ -55,7 +61,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     kg_docs = int(os.environ.get("SAGE_BENCH_KG_DOCS", "12000"))
-    spark = build_spark(app_name="sage-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus) * 2)
+    spark = build_spark(app_name="sage-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod

@@ -112,12 +112,17 @@ def replay_key_mutations(
     """
     out = MutationOutcome()
     by_id: dict[str, dict[str, Any]] = {}
-    current_order: list[str] = []
+    # insertion-ordered id log (for stable output order) plus a live
+    # current-id list maintained incrementally — rescanning the full log per
+    # claim would be O(n^2) on hub keys with thousands of claims
+    inserted_order: list[str] = []
+    current_ids: list[str] = []
     for fact in existing_facts:
         row = dict(fact)
         by_id[row["fact_id"]] = row
+        inserted_order.append(row["fact_id"])
         if row.get("status") == "current":
-            current_order.append(row["fact_id"])
+            current_ids.append(row["fact_id"])
 
     def record(claim: dict[str, Any], promotion_status: str, mutation_action: str) -> None:
         out.claim_updates.append(
@@ -135,19 +140,24 @@ def replay_key_mutations(
             # MERGE semantics: re-inserting the same fact id overwrites its
             # properties and bumps support_count (saia.py:1139-1161).
             new_fact["support_count"] = int(by_id[fid].get("support_count") or 0) + 1
-            if by_id[fid].get("status") != "current" or fid not in current_order:
-                current_order.append(fid)
+            if fid not in current_ids:
+                current_ids.append(fid)
         else:
-            current_order.append(fid)
+            inserted_order.append(fid)
+            current_ids.append(fid)
         by_id[fid] = new_fact
         return fid
+
+    def retire_fact(fid: str) -> None:
+        if fid in current_ids:
+            current_ids.remove(fid)
 
     for claim in ordered_claims:
         if not promotable(claim):
             record(claim, claim.get("promotion_status") or "pending", "not_promoted")
             continue
 
-        current = [by_id[f] for f in current_order if by_id[f].get("status") == "current"]
+        current = [by_id[f] for f in current_ids]
         action: str
         target: Optional[str] = None
         if not current:
@@ -178,6 +188,12 @@ def replay_key_mutations(
             old["status"] = "superseded"
             old["superseded_at"] = seen_at
             old["superseded_by_fact_id"] = fid
+            if target != fid:
+                retire_fact(target)
+            else:
+                # self-supersede (duplicate claim_id in one doc, saia MERGE
+                # quirk): the fact ends superseded-by-itself
+                retire_fact(fid)
             out.edges.append({"claim_id": claim["claim_id"], "fact_id": fid, "relation_type": "SUPPORTS"})
             out.edges.append({"claim_id": claim["claim_id"], "fact_id": target, "relation_type": "CONTRADICTS"})
             out.conflicts += 1
@@ -189,12 +205,6 @@ def replay_key_mutations(
                 out.conflicts += 1
             record(claim, "pending_review", "pending_review")
 
-    seen_ids: set[str] = set()
-    for fid in current_order:
-        if fid not in seen_ids:
-            seen_ids.add(fid)
-            out.facts.append(by_id[fid])
-    for fid, row in by_id.items():
-        if fid not in seen_ids:
-            out.facts.append(row)
+    for fid in inserted_order:
+        out.facts.append(by_id[fid])
     return out

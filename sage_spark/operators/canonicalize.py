@@ -70,24 +70,29 @@ def canonicalize_claims(
     PARTITION, not per key — the difference between ~6k tiny UDF calls and
     ~64 streaming ones at test scale, and the only layout that stays flat
     at 10^12 keys."""
-    spark = claims.sparkSession
-    if existing_facts is None:
-        existing_facts = spark.createDataFrame([], FACTS_SCHEMA)
+    # Bootstrap fast path: with no prior facts the stream carries only the
+    # 27 claim columns — the 26 fact columns would double the Arrow transfer
+    # for every row of every initial load.
+    has_facts = existing_facts is not None and not existing_facts.isEmpty()
 
-    claims_in = claims.select(
-        *_CLAIM_REPLAY_COLS, F.lit(1).alias("kind"), *[F.lit(None).cast(f.dataType).alias(f"fx_{f.name}") for f in FACTS_SCHEMA.fields]
-    )
-    facts_in = existing_facts.select(
-        F.col("canonical_key"),
-        *[F.lit(None).cast("string").alias(c) for c in _CLAIM_REPLAY_COLS if c not in (
-            "canonical_key", "claim_seq", "graph_worthy", "canonical_confidence")],
-        F.lit(None).cast("int").alias("claim_seq"),
-        F.lit(None).cast("boolean").alias("graph_worthy"),
-        F.lit(None).cast("double").alias("canonical_confidence"),
-        F.lit(0).alias("kind"),
-        *[F.col(f.name).alias(f"fx_{f.name}") for f in FACTS_SCHEMA.fields],
-    )
-    merged = claims_in.unionByName(facts_in)
+    claims_in = claims.select(*_CLAIM_REPLAY_COLS, F.lit(1).alias("kind"))
+    if has_facts:
+        claims_in = claims_in.select(
+            "*", *[F.lit(None).cast(f.dataType).alias(f"fx_{f.name}") for f in FACTS_SCHEMA.fields]
+        )
+        facts_in = existing_facts.select(
+            F.col("canonical_key"),
+            *[F.lit(None).cast("string").alias(c) for c in _CLAIM_REPLAY_COLS if c not in (
+                "canonical_key", "claim_seq", "graph_worthy", "canonical_confidence")],
+            F.lit(None).cast("int").alias("claim_seq"),
+            F.lit(None).cast("boolean").alias("graph_worthy"),
+            F.lit(None).cast("double").alias("canonical_confidence"),
+            F.lit(0).alias("kind"),
+            *[F.col(f.name).alias(f"fx_{f.name}") for f in FACTS_SCHEMA.fields],
+        )
+        merged = claims_in.unionByName(facts_in)
+    else:
+        merged = claims_in
     sorted_stream = merged.repartition("canonical_key").sortWithinPartitions(
         "canonical_key", "kind", "sent_at", "doc_id", "claim_seq"
     )
@@ -123,7 +128,7 @@ def canonicalize_claims(
                 if k != key:
                     flush()
                     key, facts_buf, claims_buf = k, [], []
-                if rec["kind"] == 0:
+                if has_facts and rec["kind"] == 0:
                     facts_buf.append({name: rec[f"fx_{name}"] for name in fact_names})
                 else:
                     claims_buf.append(rec)

@@ -34,8 +34,15 @@ def build_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # unix-domain sockets for the Python runners: measurably removes
+        # TCP-loopback handshake stalls at >16 concurrent workers here
+        .config("spark.python.unix.domain.socket.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # JSON-blob-heavy tables (grounding/payload) compress ~10x under
+        # zstd; staging I/O is disk-bound otherwise
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.shuffle.compress", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SAGE_SPARK_DRIVER_MEM", "8g"))
