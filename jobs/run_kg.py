@@ -1,0 +1,84 @@
+"""spark-submit entry point for the KG-construction pipeline.
+
+Cluster usage (the north-rule deployment shape):
+
+    zip -r sage_spark.zip sage_spark
+    spark-submit --py-files sage_spark.zip jobs/run_kg.py \
+        --input  s3://bucket/webtext/          # or an Iceberg table path \
+        --persons s3://bucket/dims/persons.parquet \
+        --store  s3://bucket/kg-store/ \
+        --run-id nightly-2026-05-01
+
+Local smoke run (synthesizes input deterministically):
+
+    python jobs/run_kg.py --synthetic 10000 --store /tmp/kgstore
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from sage_spark.datagen import build_groups, synth_webtext  # noqa: E402
+from sage_spark.pipeline import run_pipeline  # noqa: E402
+from sage_spark.schema import WEBTEXT_SCHEMA  # noqa: E402
+from sage_spark.session import build_spark  # noqa: E402
+from sage_spark.store import TableStore  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="webtext parquet/Iceberg path")
+    ap.add_argument("--persons", help="persons-dimension parquet path")
+    ap.add_argument("--groups", help="groups-dimension parquet path")
+    ap.add_argument("--store", required=True, help="output table-store root")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--run-ts", default=None, help="ISO processing anchor (defaults to now)")
+    ap.add_argument("--lang", default="en")
+    ap.add_argument("--embed-chunks", action="store_true")
+    ap.add_argument("--synthetic", type=int, default=0, help="generate N synthetic docs instead of --input")
+    args = ap.parse_args()
+
+    run_ts = args.run_ts or datetime.now(timezone.utc).isoformat()
+    run_id = args.run_id or f"run-{run_ts.replace(':', '').replace('+', 'Z')}"
+    spark = build_spark(app_name=f"sage-kg-{run_id}")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.synthetic:
+        webtext, persons_df = synth_webtext(spark, args.synthetic)
+        persons = [r.asDict() for r in persons_df.collect()]
+        groups = build_groups()
+    else:
+        if not args.input or not args.persons:
+            ap.error("--input and --persons are required without --synthetic")
+        webtext = spark.read.schema(WEBTEXT_SCHEMA).parquet(args.input)
+        persons = [r.asDict() for r in spark.read.parquet(args.persons).collect()]
+        groups = (
+            [r.asDict() for r in spark.read.parquet(args.groups).collect()] if args.groups else []
+        )
+
+    store = TableStore(args.store)
+    result = run_pipeline(
+        spark,
+        webtext,
+        persons,
+        groups,
+        store,
+        run_id=run_id,
+        run_ts=run_ts,
+        embed_chunks=args.embed_chunks,
+        lang_filter=args.lang or None,
+    )
+    print(
+        f"run {run_id}: documents={result.documents} chunks={result.chunks} "
+        f"claims={result.claims} facts_current={result.facts_current} "
+        f"superseded={result.facts_superseded} conflicts={result.conflicts} edges={result.edges}"
+    )
+
+
+if __name__ == "__main__":
+    main()
