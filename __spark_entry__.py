@@ -324,15 +324,18 @@ def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rows-only checks (not ANSI-SQL-expressible; driver does weaker check) ---
 
 def q_dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 8 bands x 8 rows: similarity knee ~(1/8)^(1/8) = 0.77, the right
+    # operating point for near-dup detection (4-row bands admit ~0.5-similar
+    # pairs, a quadratic candidate blowup on boilerplate-heavy corpora)
     docs = _read(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
-    return minhash_lsh_candidates(docs, "text", "doc_id", shingle_len=5, num_hashes=64, bands=16).orderBy(
+    return minhash_lsh_candidates(docs, "text", "doc_id", shingle_len=5, num_hashes=64, bands=8).orderBy(
         "id_a", "id_b"
     )
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
-    cands = minhash_lsh_candidates(docs, "text", "doc_id", shingle_len=5, num_hashes=64, bands=16)
+    cands = minhash_lsh_candidates(docs, "text", "doc_id", shingle_len=5, num_hashes=64, bands=8)
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_len=5, threshold=0.5, candidates=cands)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy("id_a", "id_b")
 

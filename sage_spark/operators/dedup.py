@@ -72,6 +72,12 @@ def minhash_signature_wide(
     in *materialized* aggregate columns, so downstream band expressions
     reference cheap attributes instead of re-inlining the whole shingle
     pipeline per reference (which blows up codegen — 100x slowdowns)."""
+    # The shingle explode multiplies rows ~300x; a small input file arrives
+    # as one split and would run it single-threaded — spread it first.
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        df = df.repartition(target)
     shingle_rows = df.select(
         F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_len))).alias("__sh")
     ).select(F.col(id_col), F.pmod(F.xxhash64("__sh"), F.lit(_MERSENNE)).alias("__h"))
@@ -176,8 +182,13 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact character-shingle Jaccard; verifies LSH candidates when given,
     else all-pairs (small inputs only — the oracle path)."""
+    # hash shingles to longs once: array_intersect over longs beats string
+    # comparison ~5x, and the arrays shuffle smaller
     shingled = df.select(
-        F.col(id_col), F.array_distinct(char_ngrams(F.col(text_col), shingle_len)).alias("sh")
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(char_ngrams(F.col(text_col), shingle_len), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     )
     if candidates is None:
         pairs = (
