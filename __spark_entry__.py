@@ -365,6 +365,23 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_facts_with_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: current facts joined to their first supporting document."""
+    from sage_spark.operators.canonicalize import split_claim_updates, split_edges
+    from sage_spark.operators.graph import facts_with_evidence
+
+    claims = _synth_claims(spark)
+    union = canonicalize_claims(claims, None, seen_at=RUN_TS)
+    union = union.localCheckpoint(eager=True)
+    facts = split_facts(union).filter(F.col("status") == "current")
+    edges = split_edges(union)
+    docs = claims.select("doc_id").distinct().select(
+        "doc_id", F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), F.lit(RUN_TS).alias("timestamp")
+    )
+    out = facts_with_evidence(facts, edges, claims.select("claim_id", "doc_id"), docs)
+    return out.select("fact_id", "canonical_key", "evidence_doc_id").orderBy("fact_id")
+
+
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").limit(100)
     media = docs.select(
@@ -421,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_facts_current": q_kg_facts_current,
         "kg_chunks": q_kg_chunks,
         "kg_entity_components": q_kg_entity_components,
+        "kg_facts_with_evidence": q_kg_facts_with_evidence,
         # relational operators (DuckDB-oracled)
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
