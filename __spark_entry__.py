@@ -68,13 +68,25 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # KG pipeline queries (synthetic webtext; deterministic at any parallelism)
 # --------------------------------------------------------------------------
 
+_SYNTH_CLAIMS_CACHE: dict[int, DataFrame] = {}
+
+
 def _synth_claims(spark: SparkSession) -> DataFrame:
+    """Deterministic synthetic claims; memoized per session (several KG
+    queries share it — the driver runs them all, so compute the kernel
+    chain once and localCheckpoint the result)."""
+    key = id(spark)
+    cached = _SYNTH_CLAIMS_CACHE.get(key)
+    if cached is not None:
+        return cached
     webtext, persons_df = synth_webtext(spark, SYNTH_DOCS, n_persons=SYNTH_PERSONS, seed=SEED)
     persons = [r.asDict() for r in persons_df.collect()]
     docs = extract_documents(webtext, lang_filter="en")
     w = Window.partitionBy("doc_id").orderBy(F.col("url").asc())
     docs = docs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
-    return extract_claims_stage(docs, persons, build_groups(), run_ts=RUN_TS)
+    claims = extract_claims_stage(docs, persons, build_groups(), run_ts=RUN_TS).localCheckpoint(eager=True)
+    _SYNTH_CLAIMS_CACHE[key] = claims
+    return claims
 
 
 def q_kg_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
