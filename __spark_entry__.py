@@ -255,6 +255,30 @@ def q_graph_one_hop_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expand_one_hop(seeds, edges).orderBy("seed", "neighbor", "direction")
 
 
+def q_agg_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation: (event_type, day) with subtotals and grand total."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .rollup("event_type", "day")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy(F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first())
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization of the events stream (batch oracle form
+    of the streaming applyInPandasWithState operator)."""
+    from sage_spark.streaming.events import batch_sessionize
+
+    events = _read(spark, sf_dir, "events")
+    sessions = batch_sessionize(events, gap_seconds=1800)
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    ).orderBy("user_id")
+
+
 def q_recency_weighted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     anchor = F.to_date(F.lit("2026-01-01"))
@@ -463,6 +487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recency_weighted_events": q_recency_weighted_events,
         "ist_display_events": q_ist_display_events,
         "graph_one_hop_orders": q_graph_one_hop_orders,
+        "agg_rollup_events": q_agg_rollup_events,
+        "events_sessionize": q_events_sessionize,
         # text analysis (DuckDB-oracled)
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -590,6 +616,32 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT seed, src AS neighbor, type, 'in' AS direction FROM seeds JOIN edges ON seed = dst
             ) ORDER BY seed, neighbor, direction
+        """,
+        "agg_rollup_events": """
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY ROLLUP (event_type, day)
+            ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST
+        """,
+        "events_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 OR lag(ts) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), labeled AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM flagged
+            ), sessions AS (
+                SELECT user_id, session_id, count(*) AS n_events
+                FROM labeled GROUP BY user_id, session_id
+            )
+            SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+            FROM sessions GROUP BY user_id ORDER BY user_id
         """,
         "recency_weighted_events": """
             SELECT user_id,

@@ -33,7 +33,9 @@ def _norm_cell(v):
 
 def _normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    return sorted(
+        (tuple(_norm_cell(r[i]) for i in order) for r in rows), key=repr
+    )
 
 
 def main() -> int:
