@@ -134,19 +134,13 @@ def ivf_topk(
     if not centroids:
         return cosine_topk(df, query, k, embedding_col)
 
-    def cell_of(col: Column) -> Column:
-        best_idx, best_score = None, None
-        for i, c in enumerate(centroids):
-            score = _dot(col, F.array(*[F.lit(v) for v in c]))
-            if best_idx is None:
-                best_idx, best_score = F.lit(i), score
-            else:
-                cond = score > best_score
-                best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
-                best_score = F.when(cond, score).otherwise(best_score)
-        return best_idx
-
-    assigned = df.withColumn("__cell", cell_of(F.col(embedding_col)))
+    # cell = argmax over centroid dot products, built as flat array
+    # expressions (transform + array_position) — a nested when-chain here
+    # generates pathologically large codegen classes
+    centroid_lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
+    scores = F.transform(centroid_lit, lambda c: _dot(c, F.col(embedding_col)))
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    assigned = df.withColumn("__cell", cell)
     scored_cells = sorted(
         range(len(centroids)),
         key=lambda i: -sum(a * b for a, b in zip(query, centroids[i])),

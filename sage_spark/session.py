@@ -45,7 +45,7 @@ def build_spark(
         .config("spark.shuffle.compress", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SAGE_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SAGE_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():
