@@ -321,6 +321,16 @@ def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_language_id(docs, "text").select("doc_id", "lang_pred").orderBy("doc_id")
 
 
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style keep/drop gate: the doc ids that survive the quality
+    thresholds."""
+    from sage_spark.operators.textstats import quality_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = quality_filter(docs, "text", min_tokens=20, min_alpha_ratio=0.6, min_stopword_ratio=0.005)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return with_fingerprint(docs, "text").select("doc_id", "fingerprint").orderBy("doc_id")
@@ -494,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_quality_filter": q_text_quality_filter,
         # dedup (exact ones oracled; hash-family ones rows-only)
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_exact_keep": q_dedup_exact_keep,
@@ -676,6 +687,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "text_language_id": _LANG_SCORE_SQL,
+        "text_quality_filter": f"""
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens,
+                       CASE WHEN length(text) > 0
+                            THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+                            ELSE 0.0 END AS alpha_ratio,
+                       CASE WHEN len(regexp_extract_all(text, '{TOKEN_PATTERN}')) > 0
+                            THEN len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                                                 x -> list_contains({_EN}, x))) * 1.0
+                                 / len(regexp_extract_all(text, '{TOKEN_PATTERN}'))
+                            ELSE 0.0 END AS stopword_ratio
+                FROM documents
+            )
+            WHERE n_tokens >= 20 AND n_tokens <= 100000
+              AND alpha_ratio >= 0.6 AND stopword_ratio >= 0.005
+            ORDER BY doc_id
+        """,
         "text_fingerprint": """
             SELECT doc_id, sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents ORDER BY doc_id
