@@ -58,6 +58,15 @@ def run_kg_bench(spark, n_docs: int) -> dict:
 
 
 def main() -> None:
+    # Stdout hygiene: the driver parses the LAST stdout line as JSON, but the
+    # Spark JVM and python daemons inherit fd 1 and can spew shutdown noise
+    # (BrokenPipeError tracebacks) around/after our print. Duplicate the real
+    # stdout now, point fd 1 at stderr for the whole run, and write the JSON
+    # to the saved fd only after spark.stop() has fully quiesced.
+    real_stdout_fd = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = os.fdopen(os.dup(2), "w")
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     kg_docs = int(os.environ.get("SAGE_BENCH_KG_DOCS", "12000"))
@@ -108,7 +117,12 @@ def main() -> None:
         "kg_facts": kg["kg_facts"],
         "cpus": int(cpus),
     }
-    print(json.dumps(out))
+    spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    with os.fdopen(real_stdout_fd, "w") as real_stdout:
+        real_stdout.write(json.dumps(out) + "\n")
+        real_stdout.flush()
 
 
 if __name__ == "__main__":
