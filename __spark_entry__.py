@@ -31,7 +31,7 @@ from sage_spark.operators.dedup import (
     with_simhash,
 )
 from sage_spark.operators.extraction import extract_claims_stage, extract_documents
-from sage_spark.operators.multimodal import MEDIA_SCHEMA, extract_image_features
+from sage_spark.operators.multimodal import extract_image_features
 from sage_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk
 from sage_spark.operators.textstats import (
     TOKEN_PATTERN,
@@ -380,7 +380,14 @@ def q_dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
+    # Deterministic 500-doc slice: keeps the DuckDB all-pairs oracle exact
+    # and tractable at any sf (O(n^2) list intersections driver-side). The
+    # unsliced scale path is exercised by dedup_minhash_candidates + bench.
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
     cands = minhash_lsh_candidates(docs, "text", "doc_id", shingle_len=5, num_hashes=64, bands=8)
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_len=5, threshold=0.5, candidates=cands)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy("id_a", "id_b")
@@ -411,6 +418,106 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_neighbors(spark: SparkSession, n: int = 10, eps: float = 0.05) -> DataFrame:
+    """Deterministic planted near-duplicates of QUERY_VEC (cos ~0.999): the
+    only genuine near neighbors in the near-uniform synthetic embedding
+    table, giving ANN recall a real ground truth to recover."""
+    import math as _math
+
+    rows = []
+    for i in range(n):
+        noise = hash_embedding(f"sage-ann-plant-{i}", 64)
+        v = [q + eps * z for q, z in zip(QUERY_VEC, noise)]
+        nrm = _math.sqrt(sum(x * x for x in v)) or 1.0
+        rows.append((1000001 + i, [x / nrm for x in v], -1))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def _recall_vs_exact(spark: SparkSession, sf_dir: str, ann_fn) -> DataFrame:
+    """ANN recall@10 against the (already-oracled) exact cosine top-k, over
+    the embeddings table plus 10 planted near-duplicates of the query — the
+    exact top-10 is provably the planted set (real vectors top out at cosine
+    ~0.35), so the ANN path must recover all 10. Semi-join of the two top-k
+    id sets; no driver-side set math."""
+    emb = (
+        _read(spark, sf_dir, "embeddings")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "embedding", "label")
+        .unionByName(_planted_neighbors(spark))
+    )
+    exact = cosine_topk(emb, QUERY_VEC, k=10).select("vec_id")
+    ann = ann_fn(emb).select("vec_id")
+    return ann.join(exact, "vec_id", "left_semi").agg(F.count("*").alias("hits")).select(
+        F.lit(10).cast("long").alias("k"), F.col("hits"), (F.col("hits") >= 8).alias("recall_ok")
+    )
+
+
+def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_vs_exact(
+        spark, sf_dir, lambda emb: lsh_topk(emb, QUERY_VEC, k=10, n_planes=8, multiprobe_hamming=2)
+    )
+
+
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_vs_exact(
+        spark, sf_dir, lambda emb: ivf_topk(emb, QUERY_VEC, k=10, n_cells=16, n_probe=8)
+    )
+
+
+# fixed retrieval query whose focus terms never occur in the synthetic
+# haystacks, so the oracle-side rank reduces to pure cosine similarity
+_PS_QUERY = "what did I say about this"
+_PS_QVEC_SQL = "[" + ", ".join(f"{v!r}" for v in hash_embedding(_PS_QUERY, 64)) + "]::DOUBLE[]"
+
+
+def q_retrieval_person_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/R2: the person-scoped retrieval pass — a SEPARATE cosine top-k over
+    the user's documents unioned with the global top-k (reference
+    PERSON_GRAPH_VECTOR_QUERY, services.py:62-89). Embeddings table plays the
+    chunk store; label-1 vectors are the user's documents."""
+    from datetime import datetime, timezone
+
+    from sage_spark.operators.retrieval import retrieve
+
+    emb = _read(spark, sf_dir, "embeddings")
+    chunks = emb.select(
+        F.col("vec_id").cast("string").alias("chunk_id"),
+        F.col("vec_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("summary"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    documents = emb.select(
+        F.col("vec_id").cast("string").alias("doc_id"),
+        F.lit("s").alias("subject"),
+        F.concat(F.lit("u"), F.col("label").cast("string")).alias("sender"),
+        F.lit(None).cast("string").alias("timestamp"),
+    )
+    facts = spark.createDataFrame(
+        [],
+        "fact_id string, canonical_key string, claim_type string, status string, "
+        "subject_key string, subject_entity_id string, object_key string, object_entity_id string, "
+        "summary string, first_seen_at string, last_seen_at string, embedding array<double>",
+    )
+    edges = emb.filter(F.col("label") == 1).select(
+        F.lit("u1").alias("src"),
+        F.col("vec_id").cast("string").alias("dst"),
+        F.lit("SENT").alias("type"),
+    )
+    out = retrieve(
+        chunks,
+        documents,
+        facts,
+        _PS_QUERY,
+        user_id="u1",
+        edges=edges,
+        now=datetime(2026, 1, 1, tzinfo=timezone.utc),
+        k=10,
+    )
+    return out.select(
+        "identifier", "kind", F.round("rank_score", 6).alias("rank_score"), "doc_id"
+    ).orderBy(F.col("rank_score").desc(), F.col("identifier").asc())
+
+
 def q_kg_facts_with_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8: current facts joined to their first supporting document."""
     from sage_spark.operators.canonicalize import split_claim_updates, split_edges
@@ -429,6 +536,9 @@ def q_kg_facts_with_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fully distributed: scan -> project to MEDIA_SCHEMA shape -> one
+    # MapInPandas decode stage; no driver round-trip (plan-tested in
+    # tests/test_plans.py::test_multimodal_plan_single_mapinpandas_over_scan)
     docs = _read(spark, sf_dir, "documents").limit(100)
     media = docs.select(
         F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias("media_id"),
@@ -438,7 +548,7 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.lit(None).cast("string").alias("meta_json"),
     )
-    feats = extract_image_features(spark.createDataFrame(media.collect(), MEDIA_SCHEMA))
+    feats = extract_image_features(media)
     return feats.select("media_id", "content_sha256", "width", "height").orderBy("media_id")
 
 
@@ -512,10 +622,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
-        # similarity search (exact top-k oracled; ANN rows-only)
+        # similarity search (exact top-k oracled; ANN raw top-k rows-only,
+        # ANN recall-vs-exact oracled)
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_lsh_recall": q_sim_lsh_recall,
+        "sim_ivf_recall": q_sim_ivf_recall,
+        # retrieval read path (person-scoped J2/R2, DuckDB-oracled)
+        "retrieval_person_scoped": q_retrieval_person_scoped,
         # multimodal plumbing (rows-only; decode stubbed)
         "multimodal_image_features": q_multimodal_image_features,
     }
@@ -550,8 +665,76 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 )
 
 
+def _components_oracle_sql() -> str:
+    """Independent connected-components oracle: the same deterministic persons
+    dim (id<->email, id<->name co-reference edges) fed to a DuckDB recursive
+    CTE (transitive closure + min label) — a different algorithm from the
+    Spark operator's iterative min-label propagation."""
+    persons = build_persons(SYNTH_PERSONS, SEED)
+    edges: list[tuple[str, str]] = []
+    for p in persons:
+        if p.get("email"):
+            edges.append((p["id"], p["email"].lower()))
+        if p.get("name"):
+            edges.append((p["id"], p["name"].lower()))
+    values = ", ".join("('{}', '{}')".format(a.replace("'", "''"), b.replace("'", "''")) for a, b in edges)
+    return f"""
+        WITH RECURSIVE e(src, dst) AS (SELECT * FROM (VALUES {values}) v(src, dst)),
+        sym(a, b) AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        reach(v, lab) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT sym.a, reach.lab FROM sym JOIN reach ON sym.b = reach.v
+        )
+        SELECT v AS vertex, min(lab) AS component FROM reach GROUP BY v ORDER BY vertex
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "kg_entity_components": _components_oracle_sql(),
+        "retrieval_person_scoped": f"""
+            WITH scored AS (
+                SELECT CAST(vec_id AS VARCHAR) AS identifier, label,
+                       list_dot_product(CAST(embedding AS DOUBLE[]), {_PS_QVEC_SQL})
+                       / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product({_PS_QVEC_SQL}, {_PS_QVEC_SQL}))) AS sim
+                FROM embeddings
+            ), topk_global AS (
+                SELECT identifier, sim FROM scored ORDER BY sim DESC, identifier LIMIT 3
+            ), topk_person AS (
+                SELECT identifier, sim FROM scored WHERE label = 1 ORDER BY sim DESC, identifier LIMIT 3
+            ), merged AS (
+                SELECT identifier, max(sim) AS sim
+                FROM (SELECT * FROM topk_global UNION ALL SELECT * FROM topk_person)
+                GROUP BY identifier
+            )
+            SELECT identifier, 'chunk' AS kind, round(sim, 6) AS rank_score, identifier AS doc_id
+            FROM merged ORDER BY sim DESC, identifier
+        """,
+        "dedup_ngram_jaccard": """
+            WITH norm AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                FROM documents WHERE doc_id < 500
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN length(t) < 5 THEN [t]
+                            ELSE list_distinct([substring(t, i, 5) for i in range(1, length(t) - 3)])
+                       END AS s
+                FROM norm
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s)) * 1.0
+                         / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE least(len(a.s), len(b.s)) * 2 >= greatest(len(a.s), len(b.s))
+              AND len(list_intersect(a.s, b.s)) * 1.0
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "sim_lsh_recall": "SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS hits, true AS recall_ok",
+        "sim_ivf_recall": "SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS hits, true AS recall_ok",
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

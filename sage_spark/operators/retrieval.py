@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..kernel.embed import hash_embedding
 from ..kernel.retrieval import (
     FACT_PRIORITY_QUERY_TYPES,
+    FIRST_PERSON_RE,
     RECENCY_BOOST_MAX,
     RECENCY_DECAY_DAYS,
     TASK_LIKE_FACT_TYPES,
@@ -66,22 +67,22 @@ def retrieve(
     terms = focus_terms(query_text)
     qvec = hash_embedding(query_text)
     reports_to_lookup = "reports to" in query_text.lower()
-    personalized = qtype in {"task_commitment_lookup", "personal_context"} and user_id is not None
+    # Reference gate: a person-scoped pass runs only for first-person queries
+    # with an authenticated user (services.py:1066 personalized_lookup).
+    personalized = user_id is not None and bool(FIRST_PERSON_RE.search(query_text))
 
-    # R1: chunk cosine top-k joined to its document (J1)
-    chunk_scored = (
-        chunks.filter(F.col("embedding").isNotNull())
-        .withColumn("similarity", cosine_to_query(F.col("embedding").cast("array<double>"), qvec))
-        .orderBy(F.col("similarity").desc())
-        .limit(topk_per_source)
-        .join(
-            documents.select("doc_id", "subject", "sender", "timestamp"),
-            "doc_id",
-            "left",
-        )
+    # R1: global chunk cosine top-k (services.py GRAPH_VECTOR_QUERY)
+    chunk_base = chunks.filter(F.col("embedding").isNotNull()).withColumn(
+        "similarity", cosine_to_query(F.col("embedding").cast("array<double>"), qvec)
     )
-    if user_id is not None and edges is not None:
-        # R2/J2: restrict to documents the user touches (semi-join)
+    chunk_scored = chunk_base.orderBy(F.col("similarity").desc(), F.col("chunk_id")).limit(
+        topk_per_source
+    )
+    if personalized and edges is not None:
+        # R2/J2: a SEPARATE top-k over only the documents the user touches
+        # (services.py PERSON_GRAPH_VECTOR_QUERY) — this can surface chunks
+        # outside the global top-k, so the semi-join must happen BEFORE the
+        # limit, then union with the global results.
         user_docs = (
             edges.filter(
                 ((F.col("type") == "SENT") & (F.col("src") == user_id))
@@ -92,9 +93,17 @@ def retrieve(
             )
             .distinct()
         )
-        chunk_scored = chunk_scored.join(F.broadcast(user_docs), "doc_id", "left_semi").unionByName(
-            chunk_scored
-        ).dropDuplicates(["chunk_id"])
+        chunk_person = (
+            chunk_base.join(F.broadcast(user_docs), "doc_id", "left_semi")
+            .orderBy(F.col("similarity").desc(), F.col("chunk_id"))
+            .limit(topk_per_source)
+        )
+        chunk_scored = chunk_scored.unionByName(chunk_person).dropDuplicates(["chunk_id"])
+    chunk_scored = chunk_scored.join(
+        documents.select("doc_id", "subject", "sender", "timestamp"),
+        "doc_id",
+        "left",
+    )
 
     chunk_haystack = F.concat_ws(
         " ",
@@ -124,15 +133,29 @@ def retrieve(
 
     # R3: fact cosine top-k over current facts
     fact_base = facts.filter(F.col("status") == "current")
-    fact_scored = (
-        fact_base.filter(F.col("embedding").isNotNull())
-        .withColumn("similarity", cosine_to_query(F.col("embedding").cast("array<double>"), qvec))
-        .orderBy(F.col("similarity").desc())
-        .limit(topk_per_source)
-    ) if "embedding" in facts.columns else fact_base.withColumn("similarity", F.lit(0.0)).limit(0)
+    if "embedding" in facts.columns:
+        fact_embedded = fact_base.filter(F.col("embedding").isNotNull()).withColumn(
+            "similarity", cosine_to_query(F.col("embedding").cast("array<double>"), qvec)
+        )
+        fact_scored = fact_embedded.orderBy(F.col("similarity").desc(), F.col("fact_id")).limit(
+            topk_per_source
+        )
+        if personalized:
+            # person-fact top-k (services.py PERSON_FACT_VECTOR_QUERY):
+            # HAS_FACT edges go person -> fact via subject_entity_id
+            # (saia.py:1196-1204), so scope by subject before the limit.
+            fact_person = (
+                fact_embedded.filter(F.col("subject_entity_id") == user_id)
+                .orderBy(F.col("similarity").desc(), F.col("fact_id"))
+                .limit(topk_per_source)
+            )
+            fact_scored = fact_scored.unionByName(fact_person).dropDuplicates(["fact_id"])
+    else:
+        fact_scored = fact_base.withColumn("similarity", F.lit(0.0)).limit(0)
 
-    # R4: exact personal task-facts (no embedding needed)
-    if personalized:
+    # R4: exact personal task-facts (no embedding needed); reference gates on
+    # personalized_lookup AND a fact-priority query type (services.py:1131)
+    if personalized and qtype in FACT_PRIORITY_QUERY_TYPES:
         exact = (
             fact_base.filter(F.col("claim_type").isin(sorted(TASK_LIKE_FACT_TYPES)))
             .filter(

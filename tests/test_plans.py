@@ -55,6 +55,23 @@ def test_lang_filter_runs_before_python_kernel(spark):
     assert "lang" in plan[filter_pos : filter_pos + 400]
 
 
+def test_multimodal_plan_single_mapinpandas_over_scan(spark):
+    """The media decode query must be fully distributed: exactly one
+    MapInPandas stage fed by the parquet scan, never a driver collect /
+    LocalTableScan round-trip (the 100 TB media-table scale-killer)."""
+    plan = _plan(spark, entrymod.queries()["multimodal_image_features"](spark, SF))
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "LocalTableScan" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_retrieval_person_scoped_no_cartesian(spark):
+    plan = _plan(spark, entrymod.queries()["retrieval_person_scoped"](spark, SF))
+    # person scope is a broadcast semi-join; top-k via TakeOrderedAndProject
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_exchange_reuse_in_minhash_self_join(spark):
     from pyspark.sql import functions as F
 

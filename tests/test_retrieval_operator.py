@@ -62,6 +62,51 @@ def test_retrieve_returns_topk_with_scores(spark):
     assert out[0]["identifier"] == "d1-chunk-0"
 
 
+def test_retrieve_person_scope_surfaces_chunk_outside_global_topk(spark):
+    """J2/R2 regression: the person-scoped pass is a SEPARATE top-k over the
+    user's documents (reference PERSON_GRAPH_VECTOR_QUERY), so a chunk whose
+    global similarity rank is below topk_per_source must still be returned
+    when it is the best match among the user's own documents."""
+
+    def vec(text):
+        return [float(v) for v in hash_embedding(text)]
+
+    query = "what did I say about the budget"
+    qvec = vec(query)
+
+    def noisy(i):
+        # deterministic decoys that outrank the user's chunk globally
+        return [v + 0.0001 * i for v in qvec]
+
+    rows = [(f"g{i}-chunk-0", f"g{i}", 0, f"global decoy {i}", f"global decoy {i}", noisy(i)) for i in range(3)]
+    rows.append(("mine-chunk-0", "mine", 0, "budget notes", "budget notes", vec("budget notes")))
+    chunks = spark.createDataFrame(
+        rows, "chunk_id string, doc_id string, seq int, content string, summary string, embedding array<double>"
+    )
+    documents = spark.createDataFrame(
+        [(f"g{i}", "s", "EMP009", "2026-04-01T00:00:00+00:00") for i in range(3)]
+        + [("mine", "Budget", "EMP002", "2026-04-01T00:00:00+00:00")],
+        "doc_id string, subject string, sender string, timestamp string",
+    )
+    facts = spark.createDataFrame(
+        [], "fact_id string, canonical_key string, claim_type string, status string, "
+        "subject_key string, subject_entity_id string, object_key string, object_entity_id string, "
+        "summary string, first_seen_at string, last_seen_at string, embedding array<double>",
+    )
+    edges = spark.createDataFrame(
+        [("EMP002", "mine", "SENT")], "src string, dst string, type string"
+    )
+
+    # sanity: globally, the user's chunk is NOT in the top-3
+    global_out = retrieve(chunks, documents, facts, query, now=NOW, k=10).collect()
+    assert "mine-chunk-0" not in [r["identifier"] for r in global_out]
+
+    scoped = retrieve(
+        chunks, documents, facts, query, user_id="EMP002", edges=edges, now=NOW, k=10
+    ).collect()
+    assert "mine-chunk-0" in [r["identifier"] for r in scoped]
+
+
 def test_retrieve_task_lookup_prioritizes_personal_fact(spark):
     chunks, documents, facts = _fixture(spark)
     out = retrieve(
