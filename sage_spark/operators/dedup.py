@@ -113,12 +113,20 @@ def minhash_lsh_candidates(
     shingle_len: int = 5,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket_size: int = 256,
+    observation=None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH: documents agreeing on
     all rows of any band land in the same bucket; bucket join yields pairs.
 
     rows/band = num_hashes/bands sets the similarity knee (~(1/bands)^(1/rows)).
     Shuffle is on (band, bucket-hash), never on text.
+
+    ``max_bucket_size`` bounds the O(n^2) pair blowup on boilerplate-heavy
+    buckets. Truncation is observable: pass a ``pyspark.sql.Observation`` and
+    after the first action on the result it reports ``truncated_buckets``
+    (buckets over the cap) and ``dropped_pairs`` (candidate pairs lost to the
+    cap) — raise the cap to recover them.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature_wide(
@@ -145,16 +153,21 @@ def minhash_lsh_candidates(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     # Pairs via bucket groupBy + in-array combination instead of a self-join:
     # signatures are computed exactly once, and the only shuffle keys on the
-    # short (band, bucket) pair. Oversized buckets (boilerplate that hashes
-    # together) are truncated to max_bucket_size members to bound the O(n^2)
-    # pair blowup — truncation is observable via the bucket_truncated count.
-    max_bucket_size = 256
+    # short (band, bucket) pair.
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
-        .withColumn("ids", F.slice("ids", 1, max_bucket_size))
     )
+    if observation is not None:
+        n = F.size("ids").cast("long")
+        capped = F.least(n, F.lit(max_bucket_size).cast("long"))
+        buckets = buckets.observe(
+            observation,
+            F.sum((n > max_bucket_size).cast("long")).alias("truncated_buckets"),
+            F.sum(n * (n - 1) / 2 - capped * (capped - 1) / 2).cast("long").alias("dropped_pairs"),
+        )
+    buckets = buckets.withColumn("ids", F.slice("ids", 1, max_bucket_size))
     pairs = buckets.select(
         F.explode(
             F.flatten(

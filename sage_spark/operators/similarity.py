@@ -118,19 +118,36 @@ def ivf_topk(
     *,
     n_cells: int = 16,
     n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """Inverted-file ANN: centroids = deterministic sample of n_cells rows
-    (stand-in for a k-means fit); every vector is assigned to its nearest
-    centroid once (a broadcast of n_cells small arrays); the query searches
-    the n_probe nearest cells only."""
-    sample = (
-        df.select(id_col, embedding_col)
-        .withColumn("__h", F.xxhash64(F.col(id_col).cast("string")))
-        .orderBy("__h")
-        .limit(n_cells)
-        .collect()
-    )
-    centroids = [list(map(float, r[embedding_col])) for r in sample]
+    """Inverted-file ANN: centroids = deterministic hash-sample of n_cells
+    rows (stand-in for a k-means fit); every vector is assigned to its
+    nearest centroid once (a broadcast of n_cells small arrays); the query
+    searches the n_probe nearest cells only.
+
+    Pass precomputed ``centroids`` (the persisted-centroid-table path) to
+    skip the fit entirely — at 100 TB the fit runs once, not per query. The
+    default fit is a hash prefilter (keep ~1/16 of rows, partition-order
+    independent) followed by a top-n_cells sort of only the surviving rows —
+    never a full-table global sort."""
+    if centroids is None:
+        sample = (
+            df.select(id_col, embedding_col)
+            .withColumn("__h", F.xxhash64(F.col(id_col).cast("string")))
+            .filter(F.pmod(F.col("__h"), F.lit(16)) == 0)
+            .orderBy("__h")
+            .limit(n_cells)
+            .collect()
+        )
+        if len(sample) < n_cells:  # tiny input: prefilter too aggressive
+            sample = (
+                df.select(id_col, embedding_col)
+                .withColumn("__h", F.xxhash64(F.col(id_col).cast("string")))
+                .orderBy("__h")
+                .limit(n_cells)
+                .collect()
+            )
+        centroids = [list(map(float, r[embedding_col])) for r in sample]
     if not centroids:
         return cosine_topk(df, query, k, embedding_col)
 

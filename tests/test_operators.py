@@ -53,6 +53,34 @@ def test_minhash_similar_docs_share_buckets(spark, docs_df):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_minhash_bucket_truncation_observable_and_recoverable(spark):
+    """Pathological boilerplate corpus: identical docs all land in one bucket
+    per band. The cap must (a) report how much it dropped via the Observation
+    side-channel and (b) recover the pairs when raised."""
+    from pyspark.sql import Observation
+
+    n_docs = 6
+    rows = [(i, "the same boilerplate footer text appears on every page of this site") for i in range(n_docs)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    obs = Observation("lsh_truncation")
+    pairs_capped = minhash_lsh_candidates(
+        docs, "text", "doc_id", bands=16, num_hashes=64, max_bucket_size=4, observation=obs
+    ).collect()
+    # 4 of 6 members survive per bucket -> C(4,2)=6 distinct pairs
+    assert len(pairs_capped) == 6
+    assert obs.get["truncated_buckets"] == 16  # every band's bucket was over the cap
+    assert obs.get["dropped_pairs"] == 16 * (15 - 6)  # C(6,2)-C(4,2) per band
+
+    obs2 = Observation("lsh_truncation_ok")
+    pairs_full = minhash_lsh_candidates(
+        docs, "text", "doc_id", bands=16, num_hashes=64, max_bucket_size=16, observation=obs2
+    ).collect()
+    assert len(pairs_full) == 15  # raising the cap recovers C(6,2)
+    assert obs2.get["truncated_buckets"] == 0
+    assert obs2.get["dropped_pairs"] == 0
+
+
 def test_minhash_signature_deterministic(spark, docs_df):
     a = with_minhash(docs_df).orderBy("doc_id").collect()
     b = with_minhash(docs_df.repartition(5)).orderBy("doc_id").collect()
@@ -101,6 +129,33 @@ def test_lsh_and_ivf_topk_agree_with_exact(spark):
     assert approx == [17]  # the exact-match vector lands in the query's bucket
     ivf = [r["vec_id"] for r in ivf_topk(df, query, k=1, n_cells=8, n_probe=8).collect()]
     assert ivf == [17]  # n_probe == n_cells -> exhaustive, must equal exact
+
+
+def test_ivf_centroid_fit_partition_independent_and_persistable(spark):
+    """The centroid fit must be deterministic under any input partitioning
+    (hash prefilter, not first-arriving rows), and a persisted centroid list
+    must reproduce the fitted path exactly (the run-once-at-100TB path)."""
+    vecs = [(i, [float(v) for v in hash_embedding(f"v{i}", 32)]) for i in range(300)]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    query = [float(v) for v in hash_embedding("v42", 32)]
+
+    a = [(r["vec_id"], r["similarity"]) for r in ivf_topk(df.repartition(1), query, k=5, n_cells=8, n_probe=4).collect()]
+    b = [(r["vec_id"], r["similarity"]) for r in ivf_topk(df.repartition(13), query, k=5, n_cells=8, n_probe=4).collect()]
+    assert a == b
+
+    # persisted-centroid path: hand the fit's output back in, same result
+    from pyspark.sql import functions as F
+
+    fitted = (
+        df.withColumn("__h", F.xxhash64(F.col("vec_id").cast("string")))
+        .filter(F.pmod("__h", F.lit(16)) == 0)
+        .orderBy("__h")
+        .limit(8)
+        .collect()
+    )
+    cents = [list(map(float, r["embedding"])) for r in fitted]
+    c = [(r["vec_id"], r["similarity"]) for r in ivf_topk(df, query, k=5, n_cells=8, n_probe=4, centroids=cents).collect()]
+    assert a == c
 
 
 def test_language_id(spark, docs_df):
