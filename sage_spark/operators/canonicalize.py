@@ -171,6 +171,22 @@ def support_counts_from_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+def incremental_support(batch_facts: DataFrame, edge_store: DataFrame) -> DataFrame:
+    """Support recompute pruned to one batch: semi-join the edge history down
+    to the batch's fact_ids (broadcast — a batch is always small relative to
+    the store), aggregate SUPPORTS counts, and stamp them onto the batch
+    facts. Facts outside the batch never enter the plan, so an incremental
+    run's cost scales with the batch, not the store."""
+    fact_ids = batch_facts.select("fact_id").dropDuplicates()
+    edges_touched = edge_store.join(F.broadcast(fact_ids), "fact_id", "left_semi")
+    support = support_counts_from_edges(edges_touched)
+    return (
+        batch_facts.drop("support_count")
+        .join(F.broadcast(support), "fact_id", "left")
+        .withColumn("support_count", F.coalesce(F.col("support_count"), F.lit(0)))
+    )
+
+
 def graph_edges_from_outputs(claims: DataFrame, facts: DataFrame, documents: DataFrame) -> DataFrame:
     """Materialize the remaining typed edges (SURVEY.md §1.1) as one
     (src, dst, type) table: SENT, RECEIVED_BY, HAS_CLAIM, HAS_FACT,

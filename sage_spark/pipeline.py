@@ -25,10 +25,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .operators.canonicalize import (
     canonicalize_claims,
     graph_edges_from_outputs,
+    incremental_support,
     split_claim_updates,
     split_edges,
     split_facts,
-    support_counts_from_edges,
 )
 from .operators.chunking import build_chunks
 from .operators.extraction import extract_claims_stage, extract_documents
@@ -132,19 +132,18 @@ def run_pipeline(
     store.upsert(documents.drop("message_id"), "documents", ["doc_id"])
     store.upsert(chunks, "chunks", ["chunk_id"])
     store.upsert(updated_claims, "claims", ["claim_id"])
-    store.upsert(facts, "facts", ["fact_id"])
     store.upsert(claim_fact_edges, "claim_fact_edges", ["claim_id", "fact_id", "relation_type"])
 
-    # idempotent support_count: re-derived from the full SUPPORTS edge set
-    all_edges = store.read(spark, "claim_fact_edges")
-    support = support_counts_from_edges(all_edges)
-    facts_final = (
-        store.read(spark, "facts")
-        .drop("support_count")
-        .join(support, "fact_id", "left")
-        .withColumn("support_count", F.coalesce(F.col("support_count"), F.lit(0)))
+    # idempotent support_count, pruned to this batch: the replay already
+    # emitted every fact of every canonical_key the batch touched, so only
+    # those facts can change support. Re-derive from the edge history of just
+    # those fact_ids (broadcast semi-join; at 10^12 docs this is a bucketed
+    # probe, never an O(store) recompute) and upsert once — untouched facts
+    # keep their stored support_count.
+    facts_with_support = incremental_support(
+        facts, store.read(spark, "claim_fact_edges")
     )
-    store.overwrite(facts_final, "facts")
+    store.upsert(facts_with_support, "facts", ["fact_id"])
 
     graph_edges = graph_edges_from_outputs(
         store.read(spark, "claims"), store.read(spark, "facts"), store.read(spark, "documents")

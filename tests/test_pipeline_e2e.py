@@ -185,6 +185,69 @@ def test_conflicting_batches_supersede(spark, tmp_path):
     assert edges.filter(F.col("type") == "SUPERSEDED_BY").count() == 1
 
 
+def test_incremental_support_prunes_to_batch(spark):
+    """The support recompute must scale with the batch, not the store: only
+    batch fact_ids enter the aggregation (broadcast semi-join in the plan),
+    and only batch facts come out."""
+    from sage_spark.operators.canonicalize import incremental_support
+
+    edge_store = spark.createDataFrame(
+        [(f"c{i}", f"f{i % 50}", "SUPPORTS") for i in range(200)],
+        "claim_id string, fact_id string, relation_type string",
+    )
+    batch = spark.createDataFrame(
+        [("f1", "k1", 0), ("f2", "k2", 0)], "fact_id string, canonical_key string, support_count int"
+    )
+    out = incremental_support(batch, edge_store)
+    rows = {r["fact_id"]: r["support_count"] for r in out.collect()}
+    assert rows == {"f1": 4, "f2": 4}  # 200 edges over 50 facts -> 4 each
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "Broadcast" in plan
+
+
+def test_incremental_run_updates_support_only_for_touched_facts(spark, tmp_path):
+    """A second batch re-asserting one fact bumps exactly that fact's
+    support_count; every other fact's row is byte-identical."""
+    from datetime import datetime
+
+    from sage_spark.schema import WEBTEXT_SCHEMA
+
+    store = TableStore(tmp_path / "kg3")
+    persons = build_persons(10, SEED)
+    groups = build_groups()
+    emp1, emp2 = persons[0]["id"], persons[1]["id"]
+
+    def page(i, text, day):
+        return (
+            f"https://corp.example/direct/s/{i}", datetime(2026, 4, day), None, text, "en",
+            emp1, [emp2], f"direct:{emp1}:{emp2}", "direct", None, f"s{i}", "chat_message",
+        )
+
+    batch1 = spark.createDataFrame(
+        [page(0, f"{emp2} reports to {emp1}.", 1), page(1, "The staging server is down.", 1)],
+        WEBTEXT_SCHEMA,
+    )
+    run_pipeline(spark, batch1, persons, groups, store, run_id="i1", run_ts="2026-04-02T00:00:00+00:00")
+    before = {r["fact_id"]: r.asDict() for r in store.read(spark, "facts").collect()}
+
+    # re-assert only the reports-to fact from a NEW document: same claim
+    # sentence (same canonical_key, no temporal change -> confirm, not
+    # supersede) inside different document text (different doc_id)
+    batch2 = spark.createDataFrame([page(2, f"Hello again. {emp2} reports to {emp1}.", 3)], WEBTEXT_SCHEMA)
+    run_pipeline(spark, batch2, persons, groups, store, run_id="i2", run_ts="2026-04-04T00:00:00+00:00")
+    after = {r["fact_id"]: r.asDict() for r in store.read(spark, "facts").collect()}
+
+    assert set(after) == set(before)
+    reports = [fid for fid, r in after.items() if r["claim_type"] == "REPORTS_TO"]
+    assert len(reports) == 1
+    assert after[reports[0]]["support_count"] == before[reports[0]]["support_count"] + 1
+    for fid in after:
+        if fid in reports:
+            continue
+        unchanged = {k: v for k, v in after[fid].items() if k != "last_seen_at"}
+        assert unchanged == {k: v for k, v in before[fid].items() if k != "last_seen_at"}
+
+
 def test_chunk_ids_and_summaries(spark, pipeline_store):
     store, _, _, _ = pipeline_store
     chunks = store.read(spark, "chunks")
