@@ -538,8 +538,9 @@ def q_kg_facts_with_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fully distributed: scan -> project to MEDIA_SCHEMA shape -> one
     # MapInPandas decode stage; no driver round-trip (plan-tested in
-    # tests/test_plans.py::test_multimodal_plan_single_mapinpandas_over_scan)
-    docs = _read(spark, sf_dir, "documents").limit(100)
+    # tests/test_plans.py::test_multimodal_plan_single_mapinpandas_over_scan).
+    # doc_id < 100 (not limit) so the subset is deterministic and oracle-able.
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = docs.select(
         F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias("media_id"),
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -665,6 +666,106 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 )
 
 
+def _expected_kg_dir() -> str:
+    """Materialize the pure-Python (no Spark) replay of the synthetic KG
+    pipeline as parquet, once; the KG oracle SQLs are plain SELECTs over it.
+    The kernel functions are differential-parity-proven vs the reference, so
+    this checks the distributed plan against a serial run of the same
+    semantics (see sage_spark/kernel/expected.py)."""
+    import pathlib
+
+    import pandas as pd
+
+    out = pathlib.Path(f"/tmp/sage_expected_kg_{SYNTH_DOCS}_{SYNTH_PERSONS}_{SEED}")
+    marker = out / "_DONE"
+    if marker.exists():
+        return str(out)
+    from sage_spark.kernel.expected import (
+        expected_chunks,
+        expected_claims,
+        expected_documents,
+        expected_facts_and_edges,
+        expected_facts_with_evidence,
+    )
+
+    docs = expected_documents(SYNTH_DOCS, SYNTH_PERSONS, SEED)
+    claims = expected_claims(docs, SYNTH_PERSONS, SEED, run_ts=RUN_TS)
+    chunks = expected_chunks(docs)
+    facts, edges = expected_facts_and_edges(claims, seen_at=RUN_TS)
+    evidence = expected_facts_with_evidence(facts, edges, claims)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def dump(rows: list[dict], cols: list[str], name: str) -> None:
+        pd.DataFrame([{c: r.get(c) for c in cols} for r in rows], columns=cols).to_parquet(
+            out / f"{name}.parquet", index=False
+        )
+
+    dump(
+        claims,
+        ["doc_id", "claim_id", "claim_type", "predicate", "subject_key", "object_key",
+         "value_text", "temporal_start", "canonical_key", "normalized_text"],
+        "claims",
+    )
+    triples = [
+        {
+            "subj": c.get("subject_entity_id") or c.get("subject_key"),
+            "pred": c.get("predicate"),
+            "obj": c.get("object_entity_id") or c.get("object_key"),
+            "claim_id": c.get("claim_id"),
+        }
+        for c in claims
+    ]
+    dump(triples, ["subj", "pred", "obj", "claim_id"], "triples")
+    dump(chunks, ["chunk_id", "doc_id", "seq", "summary"], "chunks")
+    dump(
+        [f for f in facts if f.get("status") == "current"],
+        ["fact_id", "canonical_key", "claim_type", "predicate", "subject_key",
+         "object_key", "value_text", "status", "support_count"],
+        "facts_current",
+    )
+    dump(evidence, ["fact_id", "canonical_key", "evidence_doc_id"], "facts_evidence")
+    marker.touch()
+    return str(out)
+
+
+def _lsh_topk_oracle_sql() -> str:
+    """ANSI oracle for the hyperplane-LSH top-k: the planes are deterministic
+    literals, so bucket assignment, the multiprobe set, and the within-probe
+    exact top-k are all plain SQL."""
+    from sage_spark.operators.similarity import _hyperplane
+
+    n_planes, seed, dim = 8, 13, 64
+    planes = [_hyperplane(dim, p, seed) for p in range(n_planes)]
+    qbits = 0
+    for p, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(QUERY_VEC, plane)) >= 0:
+            qbits |= 1 << p
+    probes = {qbits}
+    for p in range(n_planes):
+        probes.add(qbits ^ (1 << p))
+    for p in range(n_planes):
+        for q in range(p + 1, n_planes):
+            probes.add(qbits ^ (1 << p) ^ (1 << q))
+
+    def arr(vals: list[float]) -> str:
+        return "[" + ", ".join(f"{v!r}" for v in vals) + "]::DOUBLE[]"
+
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {arr(pl)}) >= 0 THEN {2 ** p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+    probes_sql = ", ".join(str(v) for v in sorted(probes))
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        b AS (SELECT vec_id, e, {bucket_expr} AS bucket FROM v)
+        SELECT vec_id,
+               round(list_dot_product(e, {_QUERY_VEC_SQL})
+                     / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product({_QUERY_VEC_SQL}, {_QUERY_VEC_SQL}))), 6) AS similarity
+        FROM b WHERE bucket IN ({probes_sql})
+        ORDER BY similarity DESC, vec_id ASC LIMIT 10
+    """
+
+
 def _components_oracle_sql() -> str:
     """Independent connected-components oracle: the same deterministic persons
     dim (id<->email, id<->name co-reference edges) fed to a DuckDB recursive
@@ -691,7 +792,24 @@ def _components_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    kg = _expected_kg_dir()
     return {
+        "kg_claims": f"""
+            SELECT doc_id, claim_id, claim_type, predicate, subject_key, object_key,
+                   value_text, temporal_start, canonical_key, normalized_text
+            FROM '{kg}/claims.parquet' ORDER BY doc_id, claim_id
+        """,
+        "kg_triples": f"SELECT subj, pred, obj, claim_id FROM '{kg}/triples.parquet' ORDER BY claim_id",
+        "kg_chunks": f"SELECT chunk_id, doc_id, seq, summary FROM '{kg}/chunks.parquet' ORDER BY chunk_id",
+        "kg_facts_current": f"""
+            SELECT fact_id, canonical_key, claim_type, predicate, subject_key,
+                   object_key, value_text, status, support_count
+            FROM '{kg}/facts_current.parquet' ORDER BY fact_id
+        """,
+        "kg_facts_with_evidence": f"""
+            SELECT fact_id, canonical_key, evidence_doc_id
+            FROM '{kg}/facts_evidence.parquet' ORDER BY fact_id
+        """,
         "kg_entity_components": _components_oracle_sql(),
         "retrieval_person_scoped": f"""
             WITH scored AS (
@@ -735,6 +853,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sim_lsh_recall": "SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS hits, true AS recall_ok",
         "sim_ivf_recall": "SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS hits, true AS recall_ok",
+        "sim_lsh_topk": _lsh_topk_oracle_sql(),
+        "multimodal_image_features": """
+            SELECT 'img-' || CAST(doc_id AS VARCHAR) AS media_id,
+                   sha256(text) AS content_sha256,
+                   64 + (('0x' || substr(sha256(text), 1, 2))::INT % 192) AS width,
+                   64 + (('0x' || substr(sha256(text), 3, 2))::INT % 192) AS height
+            FROM documents WHERE doc_id < 100 ORDER BY media_id
+        """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

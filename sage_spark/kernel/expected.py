@@ -1,0 +1,164 @@
+"""Pure-Python (no Spark) replay of the synthetic KG pipeline.
+
+The driver's DuckDB oracle needs ANSI-SQL-checkable expected rows for the KG
+queries, but the extraction cascade is not SQL-expressible. The kernel
+functions, however, ARE pure Python with differential-parity coverage against
+the reference (tests/test_kernel_parity.py, test_fuzz_parity.py), so the
+expected output of the whole pipeline over the deterministic synthetic corpus
+can be produced single-threaded with zero Spark machinery: generate pages ->
+extract text -> extract claims -> chunk -> replay fact mutations. The results
+are written to parquet once and the oracle SQL is a plain SELECT over them —
+which makes the driver's check a true differential test of the distributed
+plan (mapInPandas batching, repartition+sort replay streaming, window
+dedupes) against a serial reference run of the same kernel.
+
+Reference anchors: extraction cascade app/saia.py:243-634, mutation loop
+app/saia.py:1015-1230, chunking app/utils.py:109-140.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from ..datagen import build_groups, build_persons, make_page
+from .chunks import chunk_id_for, chunk_text, content_doc_id
+from .claims import extract_claims, source_eligible
+from .entities import EntityCatalog, MessageContext
+from .facts import replay_key_mutations
+from .pagetext import text_from_html
+from .text import clean_message_text, fallback_summary
+
+SINGLE_CHUNK_MAX_WORDS = 200  # keep in lockstep with operators/chunking.py
+CHUNK_WORD_BUDGET = 250
+CHUNK_OVERLAP_SENTENCES = 2
+
+
+def expected_documents(
+    n_docs: int, n_persons: int, seed: int, *, n_groups: int = 8, lang_filter: str | None = "en"
+) -> list[dict[str, Any]]:
+    """Stage-1 replay: page text extraction + content doc_id + first-per-doc
+    dedupe (min url), mirroring extract_documents + _first_per_doc."""
+    persons = build_persons(n_persons, seed)
+    by_doc: dict[str, dict[str, Any]] = {}
+    for i in range(n_docs):
+        page = make_page(i, seed, persons, n_groups)
+        if lang_filter and page["lang"] != lang_filter:
+            continue
+        text = text_from_html(page["html"]) if page["html"] is not None else (page["text"] or "")
+        doc_id = content_doc_id(text)
+        row = {
+            "doc_id": doc_id,
+            "url": page["url"],
+            "sender": page["sender_id"],
+            "receivers": list(page["receiver_ids"]) if isinstance(page["receiver_ids"], (list, tuple)) else page["receiver_ids"],
+            "content": text,
+            "summary": fallback_summary(text),
+            "timestamp": page["warc_ts"].isoformat() + "+00:00",
+            "source": page["source"],
+            "conversation_type": page["conversation_type"],
+            "conversation_id": page["conversation_id"],
+            "group_id": page["group_id"],
+            "lang": page["lang"],
+            "message_id": page["message_id"],
+        }
+        prev = by_doc.get(doc_id)
+        if prev is None or row["url"] < prev["url"]:
+            by_doc[doc_id] = row
+    return sorted(by_doc.values(), key=lambda r: r["doc_id"])
+
+
+def expected_claims(
+    documents: list[dict[str, Any]], n_persons: int, seed: int, *, run_ts: str
+) -> list[dict[str, Any]]:
+    """Stage-3 replay: eligibility gate + the seven-extractor cascade with
+    entity resolution, one row per claim (doc_id, claim_seq, sent_at added),
+    mirroring extract_claims_stage."""
+    catalog = EntityCatalog(build_persons(n_persons, seed), build_groups())
+    out: list[dict[str, Any]] = []
+    for doc in documents:
+        ctx = MessageContext(
+            doc_id=doc["doc_id"],
+            sender_id=doc["sender"] or "",
+            receiver_ids=tuple(doc["receivers"]) if doc["receivers"] is not None else (),
+            message_id=doc["message_id"],
+            conversation_id=doc["conversation_id"],
+            conversation_type=doc["conversation_type"],
+            group_id=doc["group_id"],
+            sent_at=doc["timestamp"] or "1970-01-01T00:00:00+00:00",
+            source=doc["source"] or "chat_message",
+            source_kind=doc["source"] or "chat_message",
+        )
+        cleaned = clean_message_text(doc["content"] or "")
+        if not source_eligible(ctx, cleaned):
+            continue
+        for seq, claim in enumerate(extract_claims(cleaned, ctx, catalog, created_at=run_ts)):
+            claim["doc_id"] = doc["doc_id"]
+            claim["claim_seq"] = seq
+            claim["sent_at"] = ctx.sent_at
+            out.append(claim)
+    return out
+
+
+def expected_chunks(documents: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Stage-2 replay mirroring build_chunks (embed=False)."""
+    out: list[dict[str, Any]] = []
+    for doc in documents:
+        text = doc["content"] or ""
+        if len(text.split()) <= SINGLE_CHUNK_MAX_WORDS:
+            pieces = [text] if text.strip() else []
+        else:
+            pieces = chunk_text(text, CHUNK_WORD_BUDGET, CHUNK_OVERLAP_SENTENCES)
+        for seq, piece in enumerate(pieces):
+            out.append(
+                {
+                    "chunk_id": chunk_id_for(doc["doc_id"], seq),
+                    "doc_id": doc["doc_id"],
+                    "seq": seq,
+                    "summary": fallback_summary(piece),
+                }
+            )
+    return out
+
+
+def expected_facts_and_edges(
+    claims: list[dict[str, Any]], *, seen_at: str
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+    """Stage-4 replay: group by canonical_key, order by the pipeline's
+    deterministic arrival order (sent_at, doc_id, claim_seq), and run the
+    same mutation state machine serially."""
+    groups: dict[str, list[dict[str, Any]]] = {}
+    for claim in claims:
+        groups.setdefault(claim["canonical_key"], []).append(claim)
+    facts: list[dict[str, Any]] = []
+    edges: list[dict[str, Any]] = []
+    for key in sorted(groups):
+        ordered = sorted(
+            groups[key], key=lambda c: (c.get("sent_at") or "", c.get("doc_id") or "", c.get("claim_seq") or 0)
+        )
+        outcome = replay_key_mutations([], ordered, seen_at)
+        facts.extend(outcome.facts)
+        edges.extend(outcome.edges)
+    return facts, edges
+
+
+def expected_facts_with_evidence(
+    facts: list[dict[str, Any]], edges: list[dict[str, Any]], claims: list[dict[str, Any]]
+) -> list[dict[str, Any]]:
+    """J8 replay: current facts joined to their first supporting document
+    (min doc_id), mirroring operators/graph.facts_with_evidence."""
+    doc_of = {c["claim_id"]: c["doc_id"] for c in claims}
+    best: dict[str, str] = {}
+    for e in edges:
+        if e["relation_type"] != "SUPPORTS":
+            continue
+        doc = doc_of.get(e["claim_id"])
+        if doc is None:
+            continue
+        cur = best.get(e["fact_id"])
+        if cur is None or doc < cur:
+            best[e["fact_id"]] = doc
+    return [
+        {"fact_id": f["fact_id"], "canonical_key": f["canonical_key"], "evidence_doc_id": best.get(f["fact_id"])}
+        for f in facts
+        if f.get("status") == "current"
+    ]
