@@ -553,6 +553,29 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "content_sha256", "width", "height").orderBy("media_id")
 
 
+def q_chat_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation dimension + PARTICIPATES_IN derivation over the message
+    log (chat_store.py:236-297 as one groupBy)."""
+    from sage_spark.operators.chat import conversations, messages_from_webtext
+
+    webtext, _ = synth_webtext(spark, SYNTH_DOCS, n_persons=SYNTH_PERSONS, seed=SEED)
+    convs = conversations(messages_from_webtext(webtext))
+    return convs.select(
+        "conversation_id", "conversation_type", "group_id", "n_messages", "updated_at"
+    ).orderBy("conversation_id")
+
+
+def q_chat_message_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 (backend.py:564-574): the two-hop user->conversation<-message
+    access check as a broadcast semi-join, for the hub user EMP001."""
+    from sage_spark.operators.chat import message_access, messages_from_webtext, participations
+
+    webtext, _ = synth_webtext(spark, SYNTH_DOCS, n_persons=SYNTH_PERSONS, seed=SEED)
+    msgs = messages_from_webtext(webtext)
+    acc = message_access(msgs, participations(msgs), "EMP001")
+    return acc.select("message_id", "conversation_id").orderBy("message_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple construction. Loads the sf0.001 tables (driver
     contract), derives a webtext batch from the documents table, runs the
@@ -632,6 +655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_recall": q_sim_ivf_recall,
         # retrieval read path (person-scoped J2/R2, DuckDB-oracled)
         "retrieval_person_scoped": q_retrieval_person_scoped,
+        # chat/conversation graph (J9 + conversation dim, oracled)
+        "chat_conversations": q_chat_conversations,
+        "chat_message_access": q_chat_message_access,
         # multimodal plumbing (rows-only; decode stubbed)
         "multimodal_image_features": q_multimodal_image_features,
     }
@@ -676,11 +702,12 @@ def _expected_kg_dir() -> str:
 
     import pandas as pd
 
-    out = pathlib.Path(f"/tmp/sage_expected_kg_{SYNTH_DOCS}_{SYNTH_PERSONS}_{SEED}")
+    out = pathlib.Path(f"/tmp/sage_expected_kg_v2_{SYNTH_DOCS}_{SYNTH_PERSONS}_{SEED}")
     marker = out / "_DONE"
     if marker.exists():
         return str(out)
     from sage_spark.kernel.expected import (
+        expected_chat,
         expected_chunks,
         expected_claims,
         expected_documents,
@@ -724,6 +751,11 @@ def _expected_kg_dir() -> str:
         "facts_current",
     )
     dump(evidence, ["fact_id", "canonical_key", "evidence_doc_id"], "facts_evidence")
+    messages, convs, parts = expected_chat(SYNTH_DOCS, SYNTH_PERSONS, SEED)
+    dump(convs, ["conversation_id", "conversation_type", "group_id", "n_messages", "updated_at"], "chat_conversations")
+    user_convs = {p["conversation_id"] for p in parts if p["person_id"] == "EMP001"}
+    access = [m for m in messages if m["conversation_id"] in user_convs]
+    dump(access, ["message_id", "conversation_id"], "chat_access_emp001")
     marker.touch()
     return str(out)
 
@@ -811,6 +843,14 @@ def oracle_sql() -> dict[str, str]:
             FROM '{kg}/facts_evidence.parquet' ORDER BY fact_id
         """,
         "kg_entity_components": _components_oracle_sql(),
+        "chat_conversations": f"""
+            SELECT conversation_id, conversation_type, group_id, n_messages, updated_at
+            FROM '{kg}/chat_conversations.parquet' ORDER BY conversation_id
+        """,
+        "chat_message_access": f"""
+            SELECT message_id, conversation_id
+            FROM '{kg}/chat_access_emp001.parquet' ORDER BY message_id
+        """,
         "retrieval_person_scoped": f"""
             WITH scored AS (
                 SELECT CAST(vec_id AS VARCHAR) AS identifier, label,

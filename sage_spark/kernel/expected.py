@@ -141,6 +141,75 @@ def expected_facts_and_edges(
     return facts, edges
 
 
+def expected_chat(
+    n_docs: int, n_persons: int, seed: int, *, n_groups: int = 8
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]], list[dict[str, Any]]]:
+    """Serial replay of the chat graph derivations (operators/chat.py):
+    returns (messages, conversations, participations). Conversation ids are
+    re-derived from the endpoints per chat_store.py:42-52."""
+    persons = build_persons(n_persons, seed)
+    messages: list[dict[str, Any]] = []
+    for i in range(n_docs):
+        page = make_page(i, seed, persons, n_groups)
+        sender = page["sender_id"]
+        receivers = list(page["receiver_ids"])
+        ctype = page["conversation_type"]
+        if ctype == "direct":
+            a, b = sorted([sender, receivers[0]])
+            derived = f"direct:{a}:{b}"
+        elif ctype == "group":
+            derived = f"group:{page['group_id']}"
+        else:
+            derived = f"sage:{sender}"
+        messages.append(
+            {
+                "message_id": page["message_id"],
+                "conversation_id": page["conversation_id"] or derived,
+                "derived_conversation_id": derived,
+                "conversation_type": ctype,
+                "sender_id": sender,
+                "receiver_id": receivers[0] if receivers else None,
+                "group_id": page["group_id"],
+                "receivers": receivers,
+                "sent_at": str(page["warc_ts"]),
+            }
+        )
+    convs: dict[str, dict[str, Any]] = {}
+    for m in sorted(messages, key=lambda m: (m["sent_at"], m["message_id"])):
+        c = convs.setdefault(
+            m["conversation_id"],
+            {
+                "conversation_id": m["conversation_id"],
+                "conversation_type": m["conversation_type"],
+                "group_id": m["group_id"],
+                "n_messages": 0,
+                "updated_at": m["sent_at"],
+            },
+        )
+        c["n_messages"] += 1
+        c["updated_at"] = max(c["updated_at"], m["sent_at"])
+    members: set[tuple[str, str]] = set()
+    for m in messages:
+        if m["conversation_type"] == "group":
+            members.add((m["sender_id"], m["group_id"]))
+            for r in m["receivers"]:
+                members.add((r, m["group_id"]))
+    parts: set[tuple[str, str]] = set()
+    for m in messages:
+        if m["conversation_type"] == "direct":
+            parts.add((m["sender_id"], m["conversation_id"]))
+            parts.add((m["receiver_id"], m["conversation_id"]))
+    group_convs = {
+        (m["group_id"], m["conversation_id"]) for m in messages if m["conversation_type"] == "group"
+    }
+    for person, gid in members:
+        for g2, conv in group_convs:
+            if g2 == gid:
+                parts.add((person, conv))
+    participation_rows = [{"person_id": p, "conversation_id": c} for p, c in sorted(parts)]
+    return messages, sorted(convs.values(), key=lambda c: c["conversation_id"]), participation_rows
+
+
 def expected_facts_with_evidence(
     facts: list[dict[str, Any]], edges: list[dict[str, Any]], claims: list[dict[str, Any]]
 ) -> list[dict[str, Any]]:

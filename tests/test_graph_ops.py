@@ -92,3 +92,62 @@ def test_ingestion_summary_and_entity_ids(spark):
     facts = spark.createDataFrame([("g1", None)], "subject_entity_id string, object_entity_id string")
     ids = [r["entity_id"] for r in distinct_entity_ids(claims, facts).collect()]
     assert ids == ["g1", "u1", "u2"]
+
+
+def test_chat_conversation_id_derivation_matches_log(spark):
+    """The stable-conversation-id rule (chat_store.py:42-52) re-derived from
+    endpoints must reproduce the logged conversation_id for every message in
+    the synthetic corpus."""
+    from sage_spark.datagen import synth_webtext
+    from sage_spark.operators.chat import messages_from_webtext
+
+    webtext, _ = synth_webtext(spark, 200, n_persons=20, seed=7)
+    msgs = messages_from_webtext(webtext)
+    mismatches = msgs.filter(F.col("conversation_id") != F.col("derived_conversation_id")).count()
+    assert mismatches == 0
+
+
+def test_chat_participations_and_access(spark):
+    """Direct conversations admit exactly their two endpoints; group
+    conversations admit every observed member; the two-hop access check
+    returns a user's messages and nothing else (backend.py:564-574)."""
+    from sage_spark.operators.chat import (
+        memberships,
+        message_access,
+        messages_from_webtext,
+        participations,
+    )
+    from sage_spark.schema import WEBTEXT_SCHEMA
+    from datetime import datetime
+
+    def page(i, sender, receivers, ctype, gid):
+        cid = f"group:{gid}" if ctype == "group" else "direct:" + ":".join(sorted([sender, receivers[0]]))
+        return (
+            f"https://chat.example/{i}", datetime(2026, 4, 1 + i), None, f"hello {i}", "en",
+            sender, receivers, cid, ctype, gid, f"m{i}", "chat_message",
+        )
+
+    webtext = spark.createDataFrame(
+        [
+            page(0, "u1", ["u2"], "direct", None),
+            page(1, "u2", ["u1"], "direct", None),
+            page(2, "u3", ["u4", "u5"], "group", "g1"),
+            page(3, "u4", ["u3"], "direct", None),
+        ],
+        WEBTEXT_SCHEMA,
+    )
+    msgs = messages_from_webtext(webtext)
+    parts = participations(msgs)
+    got = {(r["person_id"], r["conversation_id"]) for r in parts.collect()}
+    assert got == {
+        ("u1", "direct:u1:u2"), ("u2", "direct:u1:u2"),
+        ("u3", "group:g1"), ("u4", "group:g1"), ("u5", "group:g1"),
+        ("u3", "direct:u3:u4"), ("u4", "direct:u3:u4"),
+    }
+    mem = {(r["person_id"], r["group_id"]) for r in memberships(msgs).collect()}
+    assert mem == {("u3", "g1"), ("u4", "g1"), ("u5", "g1")}
+
+    acc_u5 = {r["message_id"] for r in message_access(msgs, parts, "u5").collect()}
+    assert acc_u5 == {"m2"}  # group member sees the group message, nothing else
+    acc_u1 = {r["message_id"] for r in message_access(msgs, parts, "u1").collect()}
+    assert acc_u1 == {"m0", "m1"}
