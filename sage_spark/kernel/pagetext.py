@@ -98,21 +98,30 @@ def text_from_docx(raw: bytes | bytearray | memoryview | None) -> str:
     return "\n".join(paragraphs)
 
 
-def text_from_pdf(raw: bytes | bytearray | memoryview | None) -> str:
-    """PDF page texts joined with single spaces, empty pages skipped
-    (utils.py:85-88). pypdf is not available in this container, so the
-    decode is gated; the Spark-side plumbing (schema, batching) is real."""
+def join_pdf_pages(page_texts: list[str | None]) -> str:
+    """The PDF page-join rule itself (utils.py:85-88): page texts joined with
+    single spaces, falsy pages skipped. Pure and reader-independent, so the
+    rule is golden-testable without a PDF library."""
+    return " ".join([t for t in page_texts if t])
+
+
+def text_from_pdf(raw: bytes | bytearray | memoryview | None, *, reader_factory=None) -> str:
+    """PDF text extraction = decode pages with pypdf (or any injected
+    ``reader_factory(stream) -> obj with .pages[*].extract_text()``), then
+    the join rule above. pypdf is not in this container, so the default
+    decode is gated; the Spark-side plumbing and the join rule are real."""
     if raw is None:
         return ""
-    try:
-        from pypdf import PdfReader  # noqa: PLC0415
-    except ImportError as exc:  # pragma: no cover - environment without pypdf
-        raise NotImplementedError(
-            "PDF text extraction requires pypdf, which is not installed in "
-            "this environment; install pypdf on the executors to enable it"
-        ) from exc
-    reader = PdfReader(io.BytesIO(bytes(raw)))
-    return " ".join(page.extract_text() for page in reader.pages if page.extract_text())
+    if reader_factory is None:
+        try:
+            from pypdf import PdfReader as reader_factory  # noqa: PLC0415, N813
+        except ImportError as exc:  # pragma: no cover - environment without pypdf
+            raise NotImplementedError(
+                "PDF text extraction requires pypdf, which is not installed in "
+                "this environment; install pypdf on the executors to enable it"
+            ) from exc
+    reader = reader_factory(io.BytesIO(bytes(raw)))
+    return join_pdf_pages([page.extract_text() for page in reader.pages])
 
 
 def extract_page_text(payload: bytes | None, media_type: str = "html") -> str:

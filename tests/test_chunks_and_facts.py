@@ -237,3 +237,42 @@ def test_message_header_parse():
     assert parsed["subject"] == "Kickoff"
     assert parsed["content"] == "Hello team\nsecond line"
     assert parsed["timestamp"] == "2026-04-01T10:00:00Z"
+
+
+def test_pdf_page_join_rule_golden():
+    """S2: the page-join rule (reference utils.py:85-88) without pypdf — an
+    injected fake reader stands in for the decoder; the rule (join with
+    single spaces, skip empty pages) is what's under test."""
+    from sage_spark.kernel.pagetext import join_pdf_pages, text_from_pdf
+
+    assert join_pdf_pages(["page one", "", "page two", None, "page three"]) == (
+        "page one page two page three"
+    )
+    assert join_pdf_pages([]) == ""
+    assert join_pdf_pages(["", None]) == ""
+
+    class FakePage:
+        def __init__(self, text):
+            self._text = text
+
+        def extract_text(self):
+            return self._text
+
+    class FakeReader:
+        def __init__(self, stream):
+            # fake decode: one page per newline-separated record, blank
+            # records decode to empty pages (scanned-image analog)
+            self.pages = [FakePage(line) for line in stream.read().decode("utf-8").split("\n")]
+
+    raw = b"Alpha body text\n\nBeta body text"
+    assert text_from_pdf(raw, reader_factory=FakeReader) == "Alpha body text Beta body text"
+    assert text_from_pdf(None, reader_factory=FakeReader) == ""
+
+    # without a reader and without pypdf, the gate must be an explicit
+    # NotImplementedError, never silent empty output
+    import importlib.util
+    import pytest
+
+    if importlib.util.find_spec("pypdf") is None:
+        with pytest.raises(NotImplementedError):
+            text_from_pdf(b"%PDF-1.4 fake")
