@@ -72,7 +72,13 @@ def link_mentions_exact(
         # repartition join; salting spreads each dimension key over
         # salt_buckets shuffle partitions.
         salted_dim = dim.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
-        left = left.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)))
+        # salt from row CONTENT, never monotonically_increasing_id: content
+        # hashes are stable across task retries and re-runs, so the row->salt
+        # assignment (and thus every downstream partition file) is reproducible
+        left = left.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.concat_ws("", *[F.col(c).cast("string") for c in mentions.columns])), F.lit(salt_buckets)),
+        )
         join_cond = (F.col("__key") == F.col("lookup_key")) & (left["__salt"] == salted_dim["__salt"])
         cand = left.join(salted_dim, join_cond, "left").drop("__salt")
     else:
