@@ -89,6 +89,20 @@ def main() -> None:
         "sim_lsh_topk",
     ]
     queries = entrymod.queries()
+    # the driver-contract minhash query is sliced to doc_id<500 for its
+    # serial-replay oracle; the bench keeps the full-corpus workload
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from sage_spark.operators.dedup import minhash_lsh_candidates  # noqa: E402
+
+    queries["dedup_minhash_candidates"] = lambda s, d: minhash_lsh_candidates(
+        s.read.parquet(f"{d}/documents.parquet").withColumn("doc_id", F.col("doc_id").cast("string")),
+        "text",
+        "doc_id",
+        shingle_len=5,
+        num_hashes=64,
+        bands=8,
+    )
     # warm up the JVM/codegen + python workers so one-shot timings measure
     # the engine, not JIT cold start
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy("l_returnflag").count().write.format(

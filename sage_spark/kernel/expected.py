@@ -210,6 +210,91 @@ def expected_chat(
     return messages, sorted(convs.values(), key=lambda c: c["conversation_id"]), participation_rows
 
 
+def expected_simhash(docs: list[tuple[Any, str]]) -> list[dict[str, Any]]:
+    """Serial replay of operators/dedup.with_simhash: distinct word tokens ->
+    Spark-compatible xxhash64 -> per-bit majority vote -> signed 64-bit
+    SimHash. A bit-exact differential check of the JVM's shift/bit plan."""
+    import re
+
+    from .xxhash import spark_xxhash64
+
+    out = []
+    for doc_id, text in docs:
+        seen: set[str] = set()
+        tokens: list[str] = []
+        for t in re.findall(r"[a-z0-9]+", (text or "").lower()):
+            if t not in seen:
+                seen.add(t)
+                tokens.append(t)
+        hashes = [spark_xxhash64(t) for t in tokens]
+        n = len(hashes)
+        if n == 0:
+            out.append({"doc_id": doc_id, "simhash": 0})
+            continue
+        value = 0
+        for bit in range(64):
+            vote = sum((h >> bit) & 1 for h in hashes)
+            if vote * 2 >= n:
+                value += (1 << bit) if bit < 63 else -(1 << 63)
+        out.append({"doc_id": doc_id, "simhash": value})
+    return out
+
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _char_shingles(text: str, n: int) -> list[str]:
+    lowered = " ".join((text or "").split()).lower()
+    # mirror operators/textstats.char_ngrams: regexp \s+ -> ' ' then lower
+    import re
+
+    lowered = re.sub(r"\s+", " ", (text or "").lower())
+    if len(lowered) < n:
+        return [lowered]
+    seen: set[str] = set()
+    out: list[str] = []
+    for i in range(len(lowered) - n + 1):
+        s = lowered[i : i + n]
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def expected_minhash_candidates(
+    docs: list[tuple[str, str]], *, shingle_len: int = 5, num_hashes: int = 64, bands: int = 8,
+    max_bucket_size: int = 256,
+) -> list[dict[str, Any]]:
+    """Serial replay of operators/dedup.minhash_lsh_candidates: shingle ->
+    xxhash64 -> mersenne-field hash family minima -> banded bucket ids ->
+    within-bucket pairs (sorted, capped). Differentially checks the whole
+    signature/banding plan including Spark's ANSI long arithmetic."""
+    from ..operators.dedup import _hash_family
+    from .xxhash import spark_xxhash64
+
+    rows_per_band = num_hashes // bands
+    family = [_hash_family(i) for i in range(num_hashes)]
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for doc_id, text in docs:
+        hs = [spark_xxhash64(s) % _MERSENNE31 for s in _char_shingles(text, shingle_len)]
+        if not hs:
+            continue
+        sig = [min((h * a + b) % _MERSENNE31 for h in hs) for a, b in family]
+        for band in range(bands):
+            vals = sig[band * rows_per_band : (band + 1) * rows_per_band]
+            bucket = spark_xxhash64(":".join(str(v) for v in vals))
+            buckets.setdefault((band, bucket), []).append(str(doc_id))
+    pairs: set[tuple[str, str]] = set()
+    for ids in buckets.values():
+        if len(ids) < 2:
+            continue
+        members = sorted(ids)[:max_bucket_size]
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    return [{"id_a": a, "id_b": b} for a, b in sorted(pairs)]
+
+
 def expected_facts_with_evidence(
     facts: list[dict[str, Any]], edges: list[dict[str, Any]], claims: list[dict[str, Any]]
 ) -> list[dict[str, Any]]:

@@ -266,3 +266,51 @@ def test_multimodal_plumbing(spark):
     assert frames and all(f["media_id"] == "vid-1" for f in frames)
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         extract_image_features(media, strict=True).collect()
+
+
+def test_xxhash64_matches_spark_bit_exactly(spark):
+    """kernel/xxhash.py must reproduce Spark's xxhash64 on every length
+    branch (empty, <4, <8, <32, >=32 bytes), multi-byte UTF-8, and longs —
+    it anchors the serial oracle for every hash-derived operator."""
+    from pyspark.sql import functions as F
+
+    from sage_spark.kernel.xxhash import spark_xxhash64, spark_xxhash64_long
+
+    cases = ["", "a", "abc", "hello world", "x" * 7, "y" * 8, "z" * 31, "w" * 32, "v" * 33,
+             "long text " * 20, "EMP001:12345", "日本語テキスト",
+             ":".join(str(i) for i in range(64))]
+    rows = {
+        r["s"]: r["h"]
+        for r in spark.createDataFrame([(c,) for c in cases], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    }
+    for c in cases:
+        assert rows[c] == spark_xxhash64(c), c
+    longs = [0, 1, -1, 42, 2**62, -(2**62)]
+    lrows = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in longs], "v long")
+        .select("v", F.xxhash64("v").alias("h"))
+        .collect()
+    }
+    for v in longs:
+        assert lrows[v] == spark_xxhash64_long(v), v
+
+
+def test_serial_hash_replays_match_operators(spark, docs_df):
+    """The no-Spark simhash/minhash replays (the driver-contract oracles)
+    must equal the distributed operators on an arbitrary corpus."""
+    from sage_spark.kernel.expected import expected_minhash_candidates, expected_simhash
+
+    docs = [(r["doc_id"], r["text"]) for r in docs_df.select("doc_id", "text").collect()]
+    exp_sim = {r["doc_id"]: r["simhash"] for r in expected_simhash(docs)}
+    got_sim = {r["doc_id"]: r["simhash"] for r in with_simhash(docs_df, "text").select("doc_id", "simhash").collect()}
+    assert exp_sim == got_sim
+
+    from pyspark.sql import functions as F
+
+    sdf = docs_df.withColumn("doc_id", F.col("doc_id").cast("string"))
+    exp_pairs = {(r["id_a"], r["id_b"]) for r in expected_minhash_candidates([(str(d), t) for d, t in docs], bands=16)}
+    got_pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(sdf, "text", "doc_id", bands=16).collect()}
+    assert exp_pairs == got_pairs
