@@ -779,11 +779,15 @@ def _expected_docs_dir() -> str:
 
     import pandas as pd
 
-    out = pathlib.Path("/tmp/sage_expected_docs_v1")
+    out = pathlib.Path("/tmp/sage_expected_docs_v2")
     marker = out / "_DONE"
     if marker.exists():
         return str(out)
-    from sage_spark.kernel.expected import expected_minhash_candidates, expected_simhash
+    from sage_spark.kernel.expected import (
+        expected_ivf_topk,
+        expected_minhash_candidates,
+        expected_simhash,
+    )
 
     sim_rows: list[dict] = []
     mh_rows: list[dict] = []
@@ -805,6 +809,16 @@ def _expected_docs_dir() -> str:
     )
     pd.DataFrame(mh_rows, columns=["corpus_key", "id_a", "id_b"]).to_parquet(
         out / "minhash_candidates.parquet", index=False
+    )
+    ivf_rows: list[dict] = []
+    for path in sorted(glob.glob("/root/testdata/sf*/embeddings.parquet")):
+        pdf = pd.read_parquet(path, columns=["vec_id", "embedding", "label"])
+        corpus_key = int(((pdf["label"] + 1) * (pdf["vec_id"] + 1)).sum())
+        vecs = [(int(v), list(e)) for v, e in zip(pdf["vec_id"], pdf["embedding"])]
+        for r in expected_ivf_topk(vecs, QUERY_VEC, k=10, n_cells=16, n_probe=8):
+            ivf_rows.append({"corpus_key": corpus_key, **r})
+    pd.DataFrame(ivf_rows, columns=["corpus_key", "vec_id", "similarity"]).to_parquet(
+        out / "ivf_topk.parquet", index=False
     )
     marker.touch()
     return str(out)
@@ -955,6 +969,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.id_a, e.id_b
             FROM '{_expected_docs_dir()}/minhash_candidates.parquet' e JOIN n ON e.corpus_key = n.c
             ORDER BY e.id_a, e.id_b
+        """,
+        "sim_ivf_topk": f"""
+            WITH n AS (SELECT sum((label + 1) * (vec_id + 1)) AS c FROM embeddings)
+            SELECT e.vec_id, e.similarity
+            FROM '{_expected_docs_dir()}/ivf_topk.parquet' e JOIN n ON e.corpus_key = n.c
+            ORDER BY e.similarity DESC, e.vec_id
         """,
         "multimodal_image_features": """
             SELECT 'img-' || CAST(doc_id AS VARCHAR) AS media_id,

@@ -295,6 +295,55 @@ def expected_minhash_candidates(
     return [{"id_a": a, "id_b": b} for a, b in sorted(pairs)]
 
 
+def expected_ivf_topk(
+    vecs: list[tuple[int, list[float]]],
+    query: list[float],
+    *,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 8,
+) -> list[dict[str, Any]]:
+    """Serial replay of operators/similarity.ivf_topk: xxhash64 prefilter ->
+    top-n_cells-by-hash centroids -> left-fold dot-product cell assignment ->
+    n_probe nearest cells -> exact cosine top-k. Every float accumulation is
+    a left fold to mirror Spark's aggregate() element order exactly."""
+    import math
+
+    from .xxhash import spark_xxhash64
+
+    def dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    hs = [(spark_xxhash64(str(vid)), vid, [float(x) for x in emb]) for vid, emb in vecs]
+    pre = [t for t in hs if t[0] % 16 == 0]
+    pool = pre if len(pre) >= n_cells else hs
+    centroids = [t[2] for t in sorted(pool, key=lambda t: t[0])[:n_cells]]
+    qnorm = math.sqrt(sum(v * v for v in query)) or 1.0
+
+    def similarity(emb: list[float]) -> float:
+        nrm = 0.0
+        for x in emb:
+            nrm += x * x
+        return dot(emb, query) / (math.sqrt(nrm) * qnorm)
+
+    if centroids:
+        probe = sorted(range(len(centroids)), key=lambda i: -sum(a * b for a, b in zip(query, centroids[i])))[:n_probe]
+        probe_set = set(probe)
+
+        def in_probe(emb: list[float]) -> bool:
+            scores = [dot(c, emb) for c in centroids]
+            return scores.index(max(scores)) in probe_set
+
+        pool_vecs = [(vid, emb) for _, vid, emb in hs if in_probe(emb)]
+    else:
+        pool_vecs = [(vid, emb) for _, vid, emb in hs]
+    scored = sorted(((similarity(emb), vid) for vid, emb in pool_vecs), key=lambda t: (-t[0], t[1]))[:k]
+    return [{"vec_id": vid, "similarity": round(sim, 6)} for sim, vid in scored]
+
+
 def expected_facts_with_evidence(
     facts: list[dict[str, Any]], edges: list[dict[str, Any]], claims: list[dict[str, Any]]
 ) -> list[dict[str, Any]]:
