@@ -276,3 +276,49 @@ def test_pdf_page_join_rule_golden():
     if importlib.util.find_spec("pypdf") is None:
         with pytest.raises(NotImplementedError):
             text_from_pdf(b"%PDF-1.4 fake")
+
+
+def test_sentence_embedder_structure():
+    """C3: the per-executor embedder singleton — model path (injected fake),
+    input truncation rule (utils.py:58-78: embed at most
+    EMBED_INPUT_MAX_CHARS chars), hermetic hash fallback, and singleton
+    identity."""
+    import numpy as np
+
+    from sage_spark.kernel.embed import (
+        DEFAULT_DIM,
+        EMBED_INPUT_MAX_CHARS,
+        SentenceEmbedder,
+        hash_embedding,
+    )
+
+    # singleton: one instance per process (per executor in production)
+    assert SentenceEmbedder.get() is SentenceEmbedder.get()
+
+    # fallback path (no model in this container): deterministic unit vectors
+    emb = SentenceEmbedder()
+    out = emb.encode(["alpha", "alpha", "beta"])
+    assert out[0] == out[1] != out[2]
+    assert len(out[0]) == DEFAULT_DIM
+    assert abs(sum(v * v for v in out[0]) - 1.0) < 1e-9
+    assert out[0] == hash_embedding("alpha", DEFAULT_DIM)
+
+    # model path via injected fake: batch shape and the truncation rule
+    class FakeModel:
+        def __init__(self):
+            self.seen = None
+
+        def encode(self, texts):
+            self.seen = list(texts)
+            return [np.arange(4, dtype=np.float32) + len(t) for t in texts]
+
+    fake = FakeModel()
+    emb_model = SentenceEmbedder()
+    emb_model._model = fake
+    long_text = "x" * (EMBED_INPUT_MAX_CHARS + 500)
+    vecs = emb_model.encode([long_text, "short"])
+    assert len(fake.seen) == 2
+    assert len(fake.seen[0]) == EMBED_INPUT_MAX_CHARS  # truncated before encode
+    assert fake.seen[1] == "short"
+    assert vecs[0] == [float(EMBED_INPUT_MAX_CHARS + v) for v in range(4)]
+    assert isinstance(vecs[0], list)  # numpy arrays are converted for Arrow
