@@ -244,11 +244,12 @@ _MERSENNE31 = (1 << 31) - 1
 
 
 def _char_shingles(text: str, n: int) -> list[str]:
-    lowered = " ".join((text or "").split()).lower()
-    # mirror operators/textstats.char_ngrams: regexp \s+ -> ' ' then lower
+    # mirror operators/textstats.char_ngrams exactly: Spark's regexp_replace
+    # uses JAVA \s == [ \t\n\x0B\f\r] (ASCII only), so the replay must NOT
+    # use Python's unicode-aware \s (it would also collapse U+00A0 etc.)
     import re
 
-    lowered = re.sub(r"\s+", " ", (text or "").lower())
+    lowered = re.sub(r"[ \t\n\x0b\f\r]+", " ", (text or "").lower())
     if len(lowered) < n:
         return [lowered]
     seen: set[str] = set()

@@ -117,3 +117,46 @@ def test_fuzz_temporal_parity(text, anchor):
 )
 def test_fuzz_chunker_parity(text, budget, overlap):
     assert chunk_text(text, budget, overlap) == REF_CHUNK(text, budget, overlap)
+
+
+# --- serial hash-replay fuzz: the no-Spark oracle vs the distributed ops ---
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                categories=("Lu", "Ll", "Nd", "Zs", "Po"),
+                include_characters=" \t\n  ",
+            ),
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_fuzz_serial_hash_replays_match_spark(spark, texts):
+    """Unicode-whitespace-heavy fuzz: the pure-Python simhash/minhash
+    replays must track the JVM operators byte-for-byte (Java \\s is
+    ASCII-only; U+00A0/U+2003 must NOT be collapsed)."""
+    from sage_spark.kernel.expected import expected_minhash_candidates, expected_simhash
+    from sage_spark.operators.dedup import minhash_lsh_candidates, with_simhash
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    exp_sim = {r["doc_id"]: r["simhash"] for r in expected_simhash(rows)}
+    got_sim = {r["doc_id"]: r["simhash"] for r in with_simhash(df, "text").select("doc_id", "simhash").collect()}
+    assert exp_sim == got_sim
+
+    from pyspark.sql import functions as F
+
+    sdf = df.withColumn("doc_id", F.col("doc_id").cast("string"))
+    exp_pairs = {(r["id_a"], r["id_b"]) for r in expected_minhash_candidates([(str(i), t) for i, t in rows], bands=8)}
+    got_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(sdf, "text", "doc_id", shingle_len=5, num_hashes=64, bands=8).collect()
+    }
+    assert exp_pairs == got_pairs
