@@ -145,10 +145,14 @@ def run_pipeline(
     )
     store.upsert(facts_with_support, "facts", ["fact_id"])
 
-    graph_edges = graph_edges_from_outputs(
-        store.read(spark, "claims"), store.read(spark, "facts"), store.read(spark, "documents")
-    )
-    store.overwrite(graph_edges, "edges")
+    # Typed graph edges are additive projections of rows (SCD-2 never
+    # removes an edge; a supersede only adds one), so deriving them from the
+    # BATCH rows and upserting on (src, dst, type) reaches the same store
+    # state as a full rebuild — without the O(store) rescan per run. The
+    # batch facts cover every touched key (incl. replayed prior versions),
+    # so status-change edges are always present.
+    graph_edges = graph_edges_from_outputs(updated_claims, facts_with_support, documents)
+    store.upsert(graph_edges, "edges", ["src", "dst", "type"])
 
     # --- lineage (S15 analog): per-partition metrics, no driver-side loops -----
     claim_part_metrics = (

@@ -247,6 +247,17 @@ def test_incremental_run_updates_support_only_for_touched_facts(spark, tmp_path)
         unchanged = {k: v for k, v in after[fid].items() if k != "last_seen_at"}
         assert unchanged == {k: v for k, v in before[fid].items() if k != "last_seen_at"}
 
+    # the incrementally-upserted edges table must equal a from-scratch
+    # rebuild over the full store (edges are additive projections)
+    from sage_spark.operators.canonicalize import graph_edges_from_outputs
+
+    full = graph_edges_from_outputs(
+        store.read(spark, "claims"), store.read(spark, "facts"), store.read(spark, "documents")
+    )
+    incr_rows = {(r["src"], r["dst"], r["type"]) for r in store.read(spark, "edges").collect()}
+    full_rows = {(r["src"], r["dst"], r["type"]) for r in full.collect()}
+    assert incr_rows == full_rows
+
 
 def test_chunk_ids_and_summaries(spark, pipeline_store):
     store, _, _, _ = pipeline_store
