@@ -38,7 +38,12 @@ def stable_conversation_id_col(
             F.concat_ws(":", F.lit("direct"), F.least(sender, receiver), F.greatest(sender, receiver)),
         )
         .when(conversation_type == "group", F.concat_ws(":", F.lit("group"), group_id))
-        .when(conversation_type == "sage", F.concat_ws(":", F.lit("sage"), sender))
+        # sage thread id is keyed on the HUMAN (chat_store.py:46-47,
+        # SAGE_USER_ID='sage'): bot-sent rows key on their receiver
+        .when(
+            conversation_type == "sage",
+            F.concat_ws(":", F.lit("sage"), F.when(sender == "sage", receiver).otherwise(sender)),
+        )
     )
 
 
@@ -87,10 +92,12 @@ def participations(messages: DataFrame) -> DataFrame:
     """PARTICIPATES_IN edges (person, conversation): direct conversations get
     both endpoints; group conversations get every observed member
     (chat_store.py:236-297)."""
-    direct = messages.filter(F.col("conversation_type") == "direct")
+    # sage conversations are two-party like direct ones: the user and the
+    # assistant bot both participate (chat_store.py:257-283)
+    direct = messages.filter(F.col("conversation_type").isin("direct", "sage"))
     direct_edges = direct.select(F.col("sender_id").alias("person_id"), "conversation_id").unionByName(
         direct.select(F.col("receiver_id").alias("person_id"), "conversation_id")
-    )
+    ).filter(F.col("person_id").isNotNull())
     grp = messages.filter(F.col("conversation_type") == "group")
     group_convs = grp.select("group_id", "conversation_id").dropDuplicates()
     group_edges = memberships(messages).join(group_convs, "group_id").select("person_id", "conversation_id")

@@ -133,6 +133,10 @@ def test_chat_participations_and_access(spark):
             page(1, "u2", ["u1"], "direct", None),
             page(2, "u3", ["u4", "u5"], "group", "g1"),
             page(3, "u4", ["u3"], "direct", None),
+            (
+                "https://chat.example/4", datetime(2026, 4, 9), None, "ask sage", "en",
+                "u1", ["sage"], "sage:u1", "sage", None, "m4", "chat_message",
+            ),
         ],
         WEBTEXT_SCHEMA,
     )
@@ -143,6 +147,7 @@ def test_chat_participations_and_access(spark):
         ("u1", "direct:u1:u2"), ("u2", "direct:u1:u2"),
         ("u3", "group:g1"), ("u4", "group:g1"), ("u5", "group:g1"),
         ("u3", "direct:u3:u4"), ("u4", "direct:u3:u4"),
+        ("u1", "sage:u1"), ("sage", "sage:u1"),
     }
     mem = {(r["person_id"], r["group_id"]) for r in memberships(msgs).collect()}
     assert mem == {("u3", "g1"), ("u4", "g1"), ("u5", "g1")}
@@ -150,4 +155,4 @@ def test_chat_participations_and_access(spark):
     acc_u5 = {r["message_id"] for r in message_access(msgs, parts, "u5").collect()}
     assert acc_u5 == {"m2"}  # group member sees the group message, nothing else
     acc_u1 = {r["message_id"] for r in message_access(msgs, parts, "u1").collect()}
-    assert acc_u1 == {"m0", "m1"}
+    assert acc_u1 == {"m0", "m1", "m4"}  # incl. the user's own sage thread
