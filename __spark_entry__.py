@@ -559,6 +559,32 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "content_sha256", "width", "height").orderBy("media_id")
 
 
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed 10% sample: stable across partitioning,
+    retries, and re-runs (operators/corpus.py)."""
+    from sage_spark.operators.corpus import deterministic_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.1).select("doc_id").orderBy("doc_id")
+
+
+def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum rates over the source column (downsample one stratum,
+    drop another, keep the rest)."""
+    from sage_spark.operators.corpus import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "doc_id", "source", {"src0": 0.25, "src1": 0.0}, default_rate=1.0)
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def q_corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sage_spark.operators.corpus import corpus_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_stats(docs, "source", length_col="n_chars").orderBy("group_key")
+
+
 def q_chat_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation dimension + PARTICIPATES_IN derivation over the message
     log (chat_store.py:236-297 as one groupBy)."""
@@ -664,6 +690,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chat/conversation graph (J9 + conversation dim, oracled)
         "chat_conversations": q_chat_conversations,
         "chat_message_access": q_chat_message_access,
+        # corpus management (deterministic sampling + profile, oracled)
+        "corpus_sample": q_corpus_sample,
+        "corpus_stratified_sample": q_corpus_stratified_sample,
+        "corpus_stats_by_source": q_corpus_stats_by_source,
         # multimodal plumbing (rows-only; decode stubbed)
         "multimodal_image_features": q_multimodal_image_features,
     }
@@ -914,6 +944,26 @@ def oracle_sql() -> dict[str, str]:
         "chat_message_access": f"""
             SELECT message_id, conversation_id
             FROM '{kg}/chat_access_emp001.parquet' ORDER BY message_id
+        """,
+        "corpus_sample": """
+            SELECT doc_id FROM documents
+            WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < 100000
+            ORDER BY doc_id
+        """,
+        "corpus_stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(sha256(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+                  < (CASE source WHEN 'src0' THEN 250000 WHEN 'src1' THEN 0 ELSE 1000000 END)
+            ORDER BY doc_id
+        """,
+        "corpus_stats_by_source": """
+            SELECT source AS group_key,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS total_chars,
+                   round(avg(n_chars), 4) AS mean_chars,
+                   quantile_disc(n_chars, 0.5) AS p50_chars,
+                   quantile_disc(n_chars, 0.9) AS p90_chars
+            FROM documents GROUP BY source ORDER BY group_key
         """,
         "retrieval_person_scoped": f"""
             WITH scored AS (

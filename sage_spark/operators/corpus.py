@@ -1,0 +1,81 @@
+"""Corpus-management operators for web-scale training-data pipelines.
+
+* ``deterministic_sample`` — content-keyed Bernoulli sampling: a row is in
+  the sample iff a stable hash of its key falls under the rate. Unlike
+  ``df.sample`` the decision is a pure function of the key — stable across
+  partitioning, retries, cluster sizes, and re-runs, and the SAME rows are
+  selected when the job is resumed or the table is re-read. sha256-based so
+  the DuckDB oracle reproduces it exactly.
+* ``stratified_sample`` — per-stratum rates (e.g. downsample boilerplate
+  domains, keep rare languages), same stability guarantees.
+* ``corpus_stats`` — per-group size/token/length profile with exact
+  discrete percentiles; the first thing you compute on a new 100 TB crawl.
+
+All pure column arithmetic — no shuffle for the samplers, one partial-agg
+shuffle for the stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _hash_unit(key: Column, *, buckets: int = 1_000_000) -> Column:
+    """Stable uniform int in [0, buckets) from sha256 of the key string —
+    reproducible in any engine with sha256 (the first 8 hex chars = 32 bits,
+    uniform, far above any realistic rate resolution)."""
+    return F.conv(F.substring(F.sha2(key.cast("string"), 256), 1, 8), 16, 10).cast("long") % buckets
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key: str,
+    rate: float,
+    *,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Keep rows whose hash bucket < rate * buckets. Filter-only: pushes to
+    the scan, no shuffle, no RNG state."""
+    threshold = int(rate * buckets)
+    return df.filter(_hash_unit(F.col(key), buckets=buckets) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 1.0,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``rates`` maps stratum value ->
+    keep rate; unlisted strata keep ``default_rate``. The hash is keyed on
+    (stratum, key) so changing one stratum's rate never perturbs another's
+    selection."""
+    threshold = F.lit(int(default_rate * buckets))
+    for value, rate in sorted(rates.items()):
+        threshold = F.when(F.col(stratum_col) == value, int(rate * buckets)).otherwise(threshold)
+    h = _hash_unit(F.concat_ws("|", F.col(stratum_col), F.col(key).cast("string")), buckets=buckets)
+    return df.filter(h < threshold)
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_col: str,
+    *,
+    text_col: str = "text",
+    length_col: str | None = None,
+) -> DataFrame:
+    """Per-group corpus profile: docs, total/mean length, exact discrete
+    median and p90 length. percentile_disc is deterministic (no
+    interpolation), so the result is oracle-checkable."""
+    length = F.col(length_col) if length_col else F.length(F.col(text_col))
+    src = df.select(F.col(group_col).alias("group_key"), length.alias("__len"))
+    return src.groupBy("group_key").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__len").alias("total_chars"),
+        F.round(F.avg("__len"), 4).alias("mean_chars"),
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY __len) AS BIGINT)").alias("p50_chars"),
+        F.expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY __len) AS BIGINT)").alias("p90_chars"),
+    )

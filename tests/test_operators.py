@@ -342,3 +342,32 @@ def test_serial_hash_replays_match_operators(spark, docs_df):
     exp_pairs = {(r["id_a"], r["id_b"]) for r in expected_minhash_candidates([(str(d), t) for d, t in docs], bands=16)}
     got_pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(sdf, "text", "doc_id", bands=16).collect()}
     assert exp_pairs == got_pairs
+
+
+def test_deterministic_sample_stability_and_rates(spark):
+    """Content-keyed sampling: same rows at any partitioning, supersets as
+    the rate grows, empirical rate near nominal, and no shuffle in the plan
+    (filter-only, pushable to the scan)."""
+    from sage_spark.operators.corpus import corpus_stats, deterministic_sample, stratified_sample
+
+    df = spark.createDataFrame([(i, f"s{i % 4}", 100 + i) for i in range(4000)], "id long, src string, n int")
+    a = {r["id"] for r in deterministic_sample(df, "id", 0.1).select("id").collect()}
+    b = {r["id"] for r in deterministic_sample(df.repartition(17), "id", 0.1).select("id").collect()}
+    assert a == b
+    wider = {r["id"] for r in deterministic_sample(df, "id", 0.3).select("id").collect()}
+    assert a <= wider  # rate increase only adds rows (same hash, higher cut)
+    assert 0.07 < len(a) / 4000 < 0.13
+
+    plan = deterministic_sample(df, "id", 0.1)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    strat = stratified_sample(df, "id", "src", {"s0": 0.0, "s1": 0.5})
+    by_src = {r["src"]: r["n"] for r in strat.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert "s0" not in by_src
+    assert 350 < by_src["s1"] < 650  # ~50% of 1000
+    assert by_src["s2"] == 1000 and by_src["s3"] == 1000  # default keep-all
+
+    stats = {r["group_key"]: r for r in corpus_stats(df, "src", length_col="n").collect()}
+    assert stats["s0"]["n_docs"] == 1000
+    # exact discrete median of 100+i for i in {0,4,...,3996}: lower middle
+    assert stats["s0"]["p50_chars"] == 100 + 4 * 499
