@@ -526,7 +526,7 @@ def q_retrieval_person_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_facts_with_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8: current facts joined to their first supporting document."""
-    from sage_spark.operators.canonicalize import split_claim_updates, split_edges
+    from sage_spark.operators.canonicalize import split_edges
     from sage_spark.operators.graph import facts_with_evidence
 
     claims = _synth_claims(spark)
