@@ -72,6 +72,40 @@ def test_retrieval_person_scoped_no_cartesian(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key must SortMergeJoin with
+    zero Exchange on either side — the layout that makes fact/edge joins
+    shuffle-free at 10^12 rows."""
+    from pyspark.sql import functions as F
+
+    from sage_spark.operators.bucketing import read_bucketed, write_bucketed
+
+    facts = spark.range(0, 10000).select(
+        F.concat(F.lit("f"), F.col("id")).alias("fact_id"), (F.col("id") % 7).alias("x")
+    )
+    edges = spark.range(0, 30000).select(
+        F.concat(F.lit("f"), (F.col("id") % 10000)).alias("fact_id"),
+        F.concat(F.lit("c"), F.col("id")).alias("claim_id"),
+    )
+    write_bucketed(facts, "t_facts_b", str(tmp_path / "facts_b"), "fact_id", buckets=8)
+    write_bucketed(edges, "t_edges_b", str(tmp_path / "edges_b"), "fact_id", buckets=8)
+    try:
+        # hint forces the merge strategy (at real scale neither side fits a
+        # broadcast; at test scale AQE would broadcast the 10k-row side)
+        joined = (
+            read_bucketed(spark, "t_facts_b")
+            .hint("merge")
+            .join(read_bucketed(spark, "t_edges_b"), "fact_id")
+        )
+        plan = _plan(spark, joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        assert joined.count() == 30000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_facts_b")
+        spark.sql("DROP TABLE IF EXISTS t_edges_b")
+
+
 def test_exchange_reuse_in_minhash_self_join(spark):
     from pyspark.sql import functions as F
 
