@@ -106,6 +106,24 @@ def sessionize_users(
     )
 
 
+def dedupe_stream(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: content fingerprint (sha2 of the normalized
+    text — same rule as the batch operator) deduplicated with
+    ``dropDuplicatesWithinWatermark``, so state for a fingerprint is evicted
+    once the watermark passes it — bounded state at unbounded input, the
+    streaming form of the batch skip-if-exists gate."""
+    from ..operators.dedup import normalized_text
+
+    fp = docs.withColumn("fingerprint", F.sha2(normalized_text(F.col(text_col)), 256))
+    return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fingerprint"])
+
+
 def batch_sessionize(events: DataFrame, *, gap_seconds: int = 1800) -> DataFrame:
     """Batch sessionization (same semantics, pure SQL): session starts where
     the gap from the previous event exceeds the threshold; cumulative sum of

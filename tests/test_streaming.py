@@ -116,3 +116,50 @@ def test_stateful_sessionize_stream_matches_batch_oracle(spark, tmp_path):
         if r["session_id"] == 1
     }
     assert {(r["user_id"], r["n_events"]) for r in got} == first_sessions
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over the content fingerprint: duplicate
+    texts arriving in later micro-batches (within the watermark) are dropped;
+    the surviving fingerprint set equals the batch exact-dedup's."""
+    from sage_spark.operators.dedup import exact_dedup
+    from sage_spark.streaming.events import dedupe_stream
+
+    base = datetime(2026, 4, 1, 12, 0, 0)
+    rows = []
+    for i in range(30):
+        rows.append((i, f"document body number {i % 10}", base + timedelta(seconds=10 * i)))
+    df = spark.createDataFrame(rows, "doc_id int, text string, ts timestamp")
+
+    input_dir = str(tmp_path / "dedup_in")
+    # two file drops -> duplicates span micro-batches
+    df.filter("doc_id < 15").coalesce(1).write.mode("append").parquet(input_dir)
+    df.filter("doc_id >= 15").coalesce(1).write.mode("append").parquet(input_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id int, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    out_dir = str(tmp_path / "dedup_out")
+    q = (
+        dedupe_stream(stream, text_col="text", ts_col="ts", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir)
+    fps = [r["fingerprint"] for r in got.select("fingerprint").collect()]
+    assert len(fps) == len(set(fps)) == 10  # 10 distinct bodies survive once each
+    batch_fps = {
+        r["fingerprint"]
+        for r in exact_dedup(df, "text", "doc_id")
+        .withColumn("fingerprint", F.sha2(F.lower(F.regexp_replace("text", r"\s+", " ")), 256))
+        .select("fingerprint")
+        .collect()
+    }
+    assert set(fps) == batch_fps
