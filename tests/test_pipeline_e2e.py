@@ -266,3 +266,51 @@ def test_chunk_ids_and_summaries(spark, pipeline_store):
     assert bad_ids == 0
     too_long = chunks.filter(F.length("summary") > 600).count()
     assert too_long == 0
+
+
+@pytest.mark.parametrize("seed,n_docs,n_persons", [(11, 80, 15), (23, 120, 25)])
+def test_pipeline_matches_pure_replay_on_other_corpora(spark, seed, n_docs, n_persons):
+    """End-to-end differential on corpora the oracles never saw: the
+    distributed extract->claims->canonicalize chain must equal the serial
+    pure-Python replay (kernel/expected.py) for any seed/size — the same
+    check the driver runs, generalized beyond the fixed synthetic corpus."""
+    from sage_spark.datagen import build_groups, build_persons
+    from sage_spark.kernel.expected import (
+        expected_claims,
+        expected_documents,
+        expected_facts_and_edges,
+    )
+    from sage_spark.operators.canonicalize import canonicalize_claims, split_facts
+    from sage_spark.operators.extraction import extract_claims_stage, extract_documents
+
+    from pyspark.sql.window import Window
+
+    run_ts = "2026-05-01T00:00:00+00:00"
+    webtext, persons_df = synth_webtext(spark, n_docs, n_persons=n_persons, seed=seed, partitions=5)
+    persons = [r.asDict() for r in persons_df.collect()]
+    docs = extract_documents(webtext, lang_filter="en")
+    w = Window.partitionBy("doc_id").orderBy(F.col("url").asc())
+    docs = docs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    claims = extract_claims_stage(docs, persons, build_groups(), run_ts=run_ts)
+    got_claims = {
+        (r["claim_id"], r["canonical_key"], r["normalized_text"], r["subject_key"], r["value_text"])
+        for r in claims.collect()
+    }
+    union = canonicalize_claims(claims, None, seen_at=run_ts)
+    got_facts = {
+        (r["fact_id"], r["canonical_key"], r["status"], r["support_count"])
+        for r in split_facts(union).collect()
+    }
+
+    exp_docs = expected_documents(n_docs, n_persons, seed)
+    exp_claims_rows = expected_claims(exp_docs, n_persons, seed, run_ts=run_ts)
+    exp_claims = {
+        (c["claim_id"], c["canonical_key"], c["normalized_text"], c.get("subject_key"), c.get("value_text"))
+        for c in exp_claims_rows
+    }
+    exp_facts_rows, _ = expected_facts_and_edges(exp_claims_rows, seen_at=run_ts)
+    exp_facts = {
+        (f["fact_id"], f["canonical_key"], f["status"], f["support_count"]) for f in exp_facts_rows
+    }
+    assert got_claims == exp_claims
+    assert got_facts == exp_facts
