@@ -21,12 +21,32 @@ from ..schema import WEBTEXT_SCHEMA
 from ..store import TableStore
 
 
-def stream_webtext_from_dir(spark: SparkSession, input_dir: str, *, max_files_per_trigger: int = 16) -> DataFrame:
-    return (
-        spark.readStream.schema(WEBTEXT_SCHEMA)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(input_dir)
+def stream_webtext_from_dir(
+    spark: SparkSession,
+    input_dir: str,
+    *,
+    max_files_per_trigger: int = 16,
+    clean_source: str | None = None,
+    archive_dir: str | None = None,
+) -> DataFrame:
+    """File-drop source for the ingest stream.
+
+    ``clean_source`` maps the reference's upload sink lifecycle (S16,
+    backend.py:634-637,694-699: save uploaded file -> process -> delete) to
+    Spark's native source cleaner: 'delete' removes each input file after
+    its micro-batch commits, 'archive' moves it under ``archive_dir``.
+    Cleanup happens only after the checkpoint commit, so a crash mid-batch
+    replays from the still-present file — the delete is exactly-once-safe."""
+    reader = spark.readStream.schema(WEBTEXT_SCHEMA).option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
     )
+    if clean_source:
+        reader = reader.option("cleanSource", clean_source)
+        if clean_source == "archive":
+            if not archive_dir:
+                raise ValueError("archive_dir is required when clean_source='archive'")
+            reader = reader.option("sourceArchiveDir", archive_dir)
+    return reader.parquet(input_dir)
 
 
 def start_kg_ingestion(

@@ -163,3 +163,40 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
         .collect()
     }
     assert set(fps) == batch_fps
+
+
+def test_upload_sink_lifecycle_cleans_processed_files(spark, tmp_path):
+    """S16 analog (backend.py:634-637,694-699): input files are removed from
+    the drop directory once their micro-batch commits — Spark's cleanSource
+    runs after the checkpoint, so the delete is exactly-once-safe."""
+    import glob
+    import time
+
+    webtext, persons_df = synth_webtext(spark, 20, n_persons=10, seed=7, partitions=1)
+    persons = [r.asDict() for r in persons_df.collect()]
+    input_dir = str(tmp_path / "uploads")
+    # two file drops -> two micro-batches: Spark's source cleaner is lazy
+    # (files of batch N are removed while fetching batch N+1), so the first
+    # upload must be gone by the time the second is processed
+    webtext.filter("message_id < 'm2'").coalesce(1).write.mode("append").parquet(input_dir)
+    webtext.filter("message_id >= 'm2'").coalesce(1).write.mode("append").parquet(input_dir)
+    n_before = len(glob.glob(f"{input_dir}/*.parquet"))
+    assert n_before == 2
+
+    store = TableStore(tmp_path / "kgup")
+    stream = stream_webtext_from_dir(spark, input_dir, max_files_per_trigger=1, clean_source="delete")
+    q = start_kg_ingestion(
+        stream, persons, build_groups(), store,
+        checkpoint_dir=str(tmp_path / "upckpt"), available_now=True,
+    )
+    q.awaitTermination(300)
+    assert store.read(spark, "documents").count() > 0
+    # the cleaner runs asynchronously after the next fetch; poll briefly.
+    # The FINAL batch's file survives an availableNow run (nothing fetches
+    # after it) — the invariant is that every previously processed upload
+    # is deleted.
+    for _ in range(30):
+        if len(glob.glob(f"{input_dir}/*.parquet")) < n_before:
+            break
+        time.sleep(1)
+    assert len(glob.glob(f"{input_dir}/*.parquet")) < n_before
