@@ -559,6 +559,14 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "content_sha256", "width", "height").orderBy("media_id")
 
 
+def q_chat_participations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTICIPATES_IN edge materialization (chat_store.py:236-297)."""
+    from sage_spark.operators.chat import messages_from_webtext, participations
+
+    webtext, _ = synth_webtext(spark, SYNTH_DOCS, n_persons=SYNTH_PERSONS, seed=SEED)
+    return participations(messages_from_webtext(webtext)).orderBy("person_id", "conversation_id")
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-keyed 10% sample: stable across partitioning,
     retries, and re-runs (operators/corpus.py)."""
@@ -690,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chat/conversation graph (J9 + conversation dim, oracled)
         "chat_conversations": q_chat_conversations,
         "chat_message_access": q_chat_message_access,
+        "chat_participations": q_chat_participations,
         # corpus management (deterministic sampling + profile, oracled)
         "corpus_sample": q_corpus_sample,
         "corpus_stratified_sample": q_corpus_stratified_sample,
@@ -789,6 +798,7 @@ def _expected_kg_dir() -> str:
     dump(evidence, ["fact_id", "canonical_key", "evidence_doc_id"], "facts_evidence")
     messages, convs, parts = expected_chat(SYNTH_DOCS, SYNTH_PERSONS, SEED)
     dump(convs, ["conversation_id", "conversation_type", "group_id", "n_messages", "updated_at"], "chat_conversations")
+    dump(parts, ["person_id", "conversation_id"], "chat_participations")
     user_convs = {p["conversation_id"] for p in parts if p["person_id"] == "EMP001"}
     access = [m for m in messages if m["conversation_id"] in user_convs]
     dump(access, ["message_id", "conversation_id"], "chat_access_emp001")
@@ -944,6 +954,10 @@ def oracle_sql() -> dict[str, str]:
         "chat_message_access": f"""
             SELECT message_id, conversation_id
             FROM '{kg}/chat_access_emp001.parquet' ORDER BY message_id
+        """,
+        "chat_participations": f"""
+            SELECT person_id, conversation_id
+            FROM '{kg}/chat_participations.parquet' ORDER BY person_id, conversation_id
         """,
         "corpus_sample": """
             SELECT doc_id FROM documents

@@ -25,7 +25,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from sage_spark.datagen import build_groups, synth_webtext  # noqa: E402
 from sage_spark.pipeline import run_pipeline  # noqa: E402
-from sage_spark.schema import WEBTEXT_SCHEMA  # noqa: E402
 from sage_spark.session import build_spark  # noqa: E402
 from sage_spark.store import TableStore  # noqa: E402
 
@@ -39,6 +38,7 @@ def main() -> None:
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--run-ts", default=None, help="ISO processing anchor (defaults to now)")
     ap.add_argument("--lang", default="en")
+    ap.add_argument("--input-format", default="parquet", choices=["parquet", "jsonl", "json"])
     ap.add_argument("--embed-chunks", action="store_true")
     ap.add_argument("--synthetic", type=int, default=0, help="generate N synthetic docs instead of --input")
     args = ap.parse_args()
@@ -55,7 +55,9 @@ def main() -> None:
     else:
         if not args.input or not args.persons:
             ap.error("--input and --persons are required without --synthetic")
-        webtext = spark.read.schema(WEBTEXT_SCHEMA).parquet(args.input)
+        from sage_spark.sources.webtext import read_webtext
+
+        webtext = read_webtext(spark, args.input, args.input_format)
         persons = [r.asDict() for r in spark.read.parquet(args.persons).collect()]
         groups = (
             [r.asDict() for r in spark.read.parquet(args.groups).collect()] if args.groups else []

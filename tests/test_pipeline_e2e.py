@@ -314,3 +314,24 @@ def test_pipeline_matches_pure_replay_on_other_corpora(spark, seed, n_docs, n_pe
     }
     assert got_claims == exp_claims
     assert got_facts == exp_facts
+
+
+def test_jsonl_webtext_source_round_trips(spark, tmp_path):
+    """Crawl-dump interchange: synth -> JSONL (base64 html, ISO ts) -> read
+    back must be value-identical to the original table, and the pipeline's
+    stage-1 output over both must match."""
+    from sage_spark.operators.extraction import extract_documents
+    from sage_spark.sources.webtext import read_webtext_jsonl, write_webtext_jsonl
+
+    webtext, _ = synth_webtext(spark, 40, n_persons=10, seed=13, partitions=3)
+    path = str(tmp_path / "dump.jsonl")
+    write_webtext_jsonl(webtext, path)
+    back = read_webtext_jsonl(spark, path)
+    a = sorted(webtext.collect(), key=lambda r: r["url"])
+    b = sorted(back.collect(), key=lambda r: r["url"])
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra.asDict() == rb.asDict(), ra["url"]
+    docs_a = {r["doc_id"] for r in extract_documents(webtext, lang_filter="en").collect()}
+    docs_b = {r["doc_id"] for r in extract_documents(back, lang_filter="en").collect()}
+    assert docs_a == docs_b
