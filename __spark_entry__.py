@@ -593,6 +593,20 @@ def q_corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(docs, "source", length_col="n_chars").orderBy("group_key")
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over the entity mention graph (subject -> object of
+    resolved claims), the iterative-algorithm path; oracled against a serial
+    replay of the same fixed-iteration recurrence."""
+    from sage_spark.operators.pagerank import pagerank
+
+    claims = _synth_claims(spark)
+    edges = claims.filter(
+        F.col("subject_entity_id").isNotNull() & F.col("object_entity_id").isNotNull()
+    ).select(F.col("subject_entity_id").alias("src"), F.col("object_entity_id").alias("dst"))
+    ranks = pagerank(edges, damping=0.85, iterations=20)
+    return ranks.select("v", F.round("rank", 6).alias("rank")).orderBy("v")
+
+
 def q_chat_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation dimension + PARTICIPATES_IN derivation over the message
     log (chat_store.py:236-297 as one groupBy)."""
@@ -658,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_facts_current": q_kg_facts_current,
         "kg_chunks": q_kg_chunks,
         "kg_entity_components": q_kg_entity_components,
+        "graph_pagerank": q_graph_pagerank,
         "kg_facts_with_evidence": q_kg_facts_with_evidence,
         # relational operators (DuckDB-oracled)
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -796,6 +811,18 @@ def _expected_kg_dir() -> str:
         "facts_current",
     )
     dump(evidence, ["fact_id", "canonical_key", "evidence_doc_id"], "facts_evidence")
+    from sage_spark.kernel.expected import expected_pagerank
+
+    pr_edges = [
+        (c["subject_entity_id"], c["object_entity_id"])
+        for c in claims
+        if c.get("subject_entity_id") and c.get("object_entity_id")
+    ]
+    pr = [
+        {"v": r["v"], "rank": round(r["rank"], 6)}
+        for r in expected_pagerank(pr_edges, damping=0.85, iterations=20)
+    ]
+    dump(pr, ["v", "rank"], "pagerank")
     messages, convs, parts = expected_chat(SYNTH_DOCS, SYNTH_PERSONS, SEED)
     dump(convs, ["conversation_id", "conversation_type", "group_id", "n_messages", "updated_at"], "chat_conversations")
     dump(parts, ["person_id", "conversation_id"], "chat_participations")
@@ -955,6 +982,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT message_id, conversation_id
             FROM '{kg}/chat_access_emp001.parquet' ORDER BY message_id
         """,
+        "graph_pagerank": f"SELECT v, rank FROM '{kg}/pagerank.parquet' ORDER BY v",
         "chat_participations": f"""
             SELECT person_id, conversation_id
             FROM '{kg}/chat_participations.parquet' ORDER BY person_id, conversation_id

@@ -345,6 +345,31 @@ def expected_ivf_topk(
     return [{"vec_id": vid, "similarity": round(sim, 6)} for sim, vid in scored]
 
 
+def expected_pagerank(
+    edges: list[tuple[str, str]], *, damping: float = 0.85, iterations: int = 20
+) -> list[dict[str, Any]]:
+    """Serial replay of operators/pagerank.pagerank (set-semantics edges,
+    uniform dangling redistribution, fixed iteration count)."""
+    eset = sorted(set(edges))
+    verts = sorted({a for a, _ in eset} | {b for _, b in eset})
+    n = len(verts)
+    if n == 0:
+        return []
+    out_deg: dict[str, int] = {}
+    for a, _ in eset:
+        out_deg[a] = out_deg.get(a, 0) + 1
+    rank = {v: 1.0 / n for v in verts}
+    for _ in range(iterations):
+        dangling = sum(r for v, r in rank.items() if v not in out_deg)
+        summed = {v: 0.0 for v in verts}
+        for a, b in eset:
+            summed[b] += rank[a] / out_deg[a]
+        rank = {
+            v: (1.0 - damping) / n + damping * (summed[v] + dangling / n) for v in verts
+        }
+    return [{"v": v, "rank": rank[v]} for v in verts]
+
+
 def expected_facts_with_evidence(
     facts: list[dict[str, Any]], edges: list[dict[str, Any]], claims: list[dict[str, Any]]
 ) -> list[dict[str, Any]]:

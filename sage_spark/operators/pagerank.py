@@ -1,0 +1,69 @@
+"""PageRank over the entity graph — the iterative-algorithm pattern.
+
+Classic damped PageRank with uniform dangling-mass redistribution, as pure
+DataFrame joins/aggregations: each iteration is one join (ranks x edges),
+one groupBy(dst) sum, and one scalar aggregate for the dangling mass.
+``localCheckpoint`` truncates lineage per iteration so the plan stays flat
+at any iteration count (the same discipline as connected components,
+operators/components.py).
+
+Scale notes: ranks and degrees are (vertex, double) tables — the shuffles
+key on vertex ids only; edges can be pre-partitioned/bucketed by src to
+co-locate the per-iteration join (see operators/bucketing.py). The dangling
+term is a single scalar per iteration (an aggregate, not a collect of data
+rows).
+
+Reference anchor: the entity graph this ranks is the subject/object mention
+graph the reference materializes in Neo4j (app/saia.py:1184-1215);
+centrality over it identifies hub entities for skew planning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 20,
+) -> DataFrame:
+    """Returns (v, rank); ranks sum to 1. Edges are de-duplicated (set
+    semantics, matching the MERGE-built reference graph)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates(["src", "dst"])
+    e = e.localCheckpoint(eager=True)
+    verts = e.select(F.col("src").alias("v")).unionByName(e.select(F.col("dst").alias("v"))).distinct()
+    verts = verts.localCheckpoint(eager=True)
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(out_deg.withColumnRenamed("src", "v"), "v", "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            e.join(ranks.withColumnRenamed("v", "src"), "src")
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("v"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        summed = contribs.groupBy("v").agg(F.sum("c").alias("s"))
+        ranks = (
+            verts.join(summed, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

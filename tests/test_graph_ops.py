@@ -156,3 +156,19 @@ def test_chat_participations_and_access(spark):
     assert acc_u5 == {"m2"}  # group member sees the group message, nothing else
     acc_u1 = {r["message_id"] for r in message_access(msgs, parts, "u1").collect()}
     assert acc_u1 == {"m0", "m1", "m4"}  # incl. the user's own sage thread
+
+
+def test_pagerank_properties_and_replay_agreement(spark):
+    """Ranks sum to 1, the sink everyone points to ranks highest, and the
+    distributed recurrence equals the serial replay to float precision."""
+    from sage_spark.kernel.expected import expected_pagerank
+    from sage_spark.operators.pagerank import pagerank
+
+    edges = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"), ("a", "b"), ("b", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["v"]: r["rank"] for r in pagerank(df, iterations=25).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert max(got, key=got.get) == "hub"
+    exp = {r["v"]: r["rank"] for r in expected_pagerank(edges, iterations=25)}
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-9, v
