@@ -567,6 +567,25 @@ def q_chat_participations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return participations(messages_from_webtext(webtext)).orderBy("person_id", "conversation_id")
 
 
+def q_text_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (emails/phones/IPs -> typed placeholders); compared by
+    content hash of the redacted text."""
+    from sage_spark.operators.textstats import redact_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    out = redact_pii(docs, "text")
+    return out.select("doc_id", F.sha2("text_redacted", 256).alias("redacted_sha")).orderBy("doc_id")
+
+
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-line fraction, top-bigram
+    fraction) per document."""
+    from sage_spark.operators.textstats import with_repetition_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_repetition_stats(docs, "text", "doc_id").orderBy("doc_id")
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-keyed 10% sample: stable across partitioning,
     retries, and re-runs (operators/corpus.py)."""
@@ -694,6 +713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
         "text_quality_filter": q_text_quality_filter,
+        "text_pii_redacted": q_text_pii_redacted,
+        "text_repetition_stats": q_text_repetition_stats,
         # dedup (exact ones oracled; hash-family ones rows-only)
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_exact_keep": q_dedup_exact_keep,
@@ -1227,6 +1248,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_tokens >= 20 AND n_tokens <= 100000
               AND alpha_ratio >= 0.6 AND stopword_ratio >= 0.005
             ORDER BY doc_id
+        """,
+        "text_pii_redacted": """
+            SELECT doc_id,
+                   sha256(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         '\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}', '<PHONE>', 'g'),
+                       '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g')
+                   ) AS redacted_sha
+            FROM documents ORDER BY doc_id
+        """,
+        "text_repetition_stats": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws,
+                       list_filter(str_split(text, chr(10)), x -> trim(x) <> '') AS ls
+                FROM documents
+            ), b AS (
+                SELECT doc_id, ls,
+                       CASE WHEN len(ws) >= 2
+                            THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                            ELSE [] END AS bs
+                FROM w
+            ), line_stats AS (
+                SELECT doc_id, len(ls) AS n_lines, len(list_distinct(ls)) AS n_distinct FROM b
+            ), g AS (
+                SELECT doc_id, unnest(bs) AS gram FROM b
+            ), gc AS (
+                SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2
+            ), agg AS (
+                SELECT doc_id, max(c) AS top_c, sum(c) AS total_c FROM gc GROUP BY 1
+            )
+            SELECT ls.doc_id,
+                   round(CASE WHEN n_lines > 0 THEN 1.0 - n_distinct * 1.0 / n_lines ELSE 0.0 END, 6) AS dup_line_frac,
+                   round(CASE WHEN coalesce(total_c, 0) > 0 THEN top_c * 1.0 / total_c ELSE 0.0 END, 6) AS top_bigram_frac
+            FROM line_stats ls LEFT JOIN agg USING (doc_id)
+            ORDER BY ls.doc_id
         """,
         "text_fingerprint": """
             SELECT doc_id, sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint

@@ -112,3 +112,86 @@ def char_ngrams(col: Column, n: int = 5) -> Column:
     return F.when(length < n, F.array(lowered)).otherwise(
         F.transform(F.sequence(F.lit(1), length - n + 1), lambda i: lowered.substr(i, F.lit(n)))
     )
+
+
+# --- PII redaction (web-scale training-data hygiene) ------------------------
+
+# Conservative, RE2-compatible patterns (identical semantics in Spark's Java
+# regex and DuckDB's RE2, so the operator is oracle-checkable):
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+PII_IPV4_RE = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+) -> DataFrame:
+    """Replace emails / phone-shaped numbers / IPv4 literals with typed
+    placeholder tokens. Pure codegen regexp chain — the standard pre-training
+    scrub pass, run before any tokenization or dedup so placeholders dedupe
+    consistently."""
+    redacted = F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, PII_PHONE_RE, "<PHONE>")
+    redacted = F.regexp_replace(redacted, PII_IPV4_RE, "<IP>")
+    return df.withColumn(out_col, redacted)
+
+
+def with_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    * ``dup_line_frac``   — fraction of lines that are duplicates of an
+      earlier line (boilerplate/nav chrome indicator);
+    * ``top_bigram_frac`` — occurrences of the most frequent word bigram
+      over all bigrams (looping/spam indicator).
+
+    Shape: lines/bigrams explode -> two (id, gram) counts -> per-doc
+    aggregates. The shuffles key on (id, gram) shorts; at 100 TB this is the
+    same one-pass profile shape as corpus_stats."""
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != "")
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        lines.alias("__lines"),
+        bigrams.alias("__bigrams"),
+    )
+    line_stats = base.select(
+        id_col,
+        F.size("__lines").alias("n_lines"),
+        F.size(F.array_distinct("__lines")).alias("n_distinct_lines"),
+    )
+    gram_rows = base.select(F.col(id_col), F.explode_outer("__bigrams").alias("g"))
+    gram_counts = (
+        gram_rows.filter(F.col("g").isNotNull())
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_c"))
+    )
+    out = (
+        line_stats.join(gram_counts, id_col, "left")
+        .select(
+            id_col,
+            F.when(
+                F.col("n_lines") > 0,
+                F.round(1.0 - F.col("n_distinct_lines") / F.col("n_lines"), 6),
+            ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+            F.when(
+                F.coalesce(F.col("total_c"), F.lit(0)) > 0,
+                F.round(F.col("top_c") / F.col("total_c"), 6),
+            ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+    return out

@@ -371,3 +371,27 @@ def test_deterministic_sample_stability_and_rates(spark):
     assert stats["s0"]["n_docs"] == 1000
     # exact discrete median of 100+i for i in {0,4,...,3996}: lower middle
     assert stats["s0"]["p50_chars"] == 100 + 4 * 499
+
+
+def test_pii_redaction_and_repetition_stats(spark):
+    from sage_spark.operators.textstats import redact_pii, with_repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Contact jane.doe@example.com or +1-555-123-4567, server at 10.0.0.1 ok"),
+            (2, "nav\nnav\nnav\nunique line"),
+            (3, "buy now buy now buy now buy now"),
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    red = {r["doc_id"]: r["text_redacted"] for r in redact_pii(docs).collect()}
+    assert red[1] == "Contact <EMAIL> or <PHONE>, server at <IP> ok"
+    assert red[2] == docs.collect()[1]["text"] or "<" not in red[2]
+
+    stats = {r["doc_id"]: r for r in with_repetition_stats(docs).collect()}
+    assert stats[2]["dup_line_frac"] == 0.5  # 4 lines, 2 distinct
+    # "buy now buy now...": bigrams = [buy now, now buy, buy now, now buy,
+    # buy now, now buy, buy now] -> top 4/7
+    assert stats[3]["top_bigram_frac"] == round(4 / 7, 6)
+    assert stats[4]["dup_line_frac"] == 0.0 and stats[4]["top_bigram_frac"] == 0.0
