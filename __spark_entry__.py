@@ -586,6 +586,14 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_repetition_stats(docs, "text", "doc_id").orderBy("doc_id")
 
 
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM-proxy quality score per document."""
+    from sage_spark.operators.textstats import with_unigram_logprob
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_unigram_logprob(docs, "text", "doc_id").orderBy("doc_id")
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-keyed 10% sample: stable across partitioning,
     retries, and re-runs (operators/corpus.py)."""
@@ -715,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": q_text_quality_filter,
         "text_pii_redacted": q_text_pii_redacted,
         "text_repetition_stats": q_text_repetition_stats,
+        "text_unigram_logprob": q_text_unigram_logprob,
         # dedup (exact ones oracled; hash-family ones rows-only)
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_exact_keep": q_dedup_exact_keep,
@@ -1287,6 +1296,23 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN coalesce(total_c, 0) > 0 THEN top_c * 1.0 / total_c ELSE 0.0 END, 6) AS top_bigram_frac
             FROM line_stats ls LEFT JOIN agg USING (doc_id)
             ORDER BY ls.doc_id
+        """,
+        "text_unigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+                FROM documents
+            ), vocab AS (
+                SELECT tok, count(*) AS c FROM toks GROUP BY tok
+            ), total AS (
+                SELECT count(*) AS t FROM toks
+            ), per_doc AS (
+                SELECT toks.doc_id, round(avg(ln(vocab.c * 1.0 / total.t)), 6) AS mean_unigram_logprob
+                FROM toks JOIN vocab USING (tok) CROSS JOIN total
+                GROUP BY toks.doc_id
+            )
+            SELECT d.doc_id, coalesce(p.mean_unigram_logprob, 0.0) AS mean_unigram_logprob
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "text_fingerprint": """
             SELECT doc_id, sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint

@@ -195,3 +195,30 @@ def with_repetition_stats(
         )
     )
     return out
+
+
+def with_unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LM-proxy quality score: mean corpus-unigram log-probability per
+    document (the cheap stand-in for model perplexity used to rank crawl
+    text). Two passes, both relational: (1) global token counts — one
+    partial-agg shuffle keyed on the token; (2) tokens re-join their corpus
+    probability and average per document. Rare-word-heavy or garbled
+    documents score low; no model download, fully deterministic, and the
+    whole computation is plain SQL (oracle-checkable)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = toks.count()  # one scalar; at 100 TB this is a cheap agg, not data movement
+    scored = toks.join(vocab, "tok").select(
+        F.col(id_col), (F.log(F.col("c") / F.lit(float(total)))).alias("lp")
+    )
+    per_doc = scored.groupBy(id_col).agg(F.round(F.avg("lp"), 6).alias("mean_unigram_logprob"))
+    return df.select(id_col).join(per_doc, id_col, "left").fillna(
+        {"mean_unigram_logprob": 0.0}
+    )

@@ -395,3 +395,20 @@ def test_pii_redaction_and_repetition_stats(spark):
     # buy now, now buy, buy now] -> top 4/7
     assert stats[3]["top_bigram_frac"] == round(4 / 7, 6)
     assert stats[4]["dup_line_frac"] == 0.0 and stats[4]["top_bigram_frac"] == 0.0
+
+
+def test_unigram_logprob_ranks_garbled_text_lower(spark):
+    from sage_spark.operators.textstats import with_unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog and the old cat"),
+            (2, "the the the the the"),             # all high-frequency
+            (3, "zxqv jjkw qqpl mnbv"),             # all hapaxes
+            (4, ""),                                 # no tokens
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["mean_unigram_logprob"] for r in with_unigram_logprob(docs).collect()}
+    assert got[2] > got[1] > got[3]  # common words score higher than rare garble
+    assert got[4] == 0.0
