@@ -810,11 +810,19 @@ def _expected_kg_dir() -> str:
     chunks = expected_chunks(docs)
     facts, edges = expected_facts_and_edges(claims, seen_at=RUN_TS)
     evidence = expected_facts_with_evidence(facts, edges, claims)
-    out.mkdir(parents=True, exist_ok=True)
+    # build in a per-process staging dir, publish with one atomic rename:
+    # concurrent callers (driver + a verify run) can't see half-written files
+    import os as _os
+    import shutil as _shutil
+
+    stage = out.with_name(out.name + f".__build{_os.getpid()}__")
+    if stage.exists():
+        _shutil.rmtree(stage)
+    stage.mkdir(parents=True)
 
     def dump(rows: list[dict], cols: list[str], name: str) -> None:
         pd.DataFrame([{c: r.get(c) for c in cols} for r in rows], columns=cols).to_parquet(
-            out / f"{name}.parquet", index=False
+            stage / f"{name}.parquet", index=False
         )
 
     dump(
@@ -859,7 +867,11 @@ def _expected_kg_dir() -> str:
     user_convs = {p["conversation_id"] for p in parts if p["person_id"] == "EMP001"}
     access = [m for m in messages if m["conversation_id"] in user_convs]
     dump(access, ["message_id", "conversation_id"], "chat_access_emp001")
-    marker.touch()
+    (stage / "_DONE").touch()
+    try:
+        _os.rename(stage, out)
+    except OSError:  # another process published first
+        _shutil.rmtree(stage, ignore_errors=True)
     return str(out)
 
 
@@ -900,12 +912,18 @@ def _expected_docs_dir() -> str:
         sliced = [(str(d), t) for d, t in docs if d < 500]
         for r in expected_minhash_candidates(sliced, shingle_len=5, num_hashes=64, bands=8):
             mh_rows.append({"corpus_key": corpus_key, **r})
-    out.mkdir(parents=True, exist_ok=True)
+    import os as _os
+    import shutil as _shutil
+
+    stage = out.with_name(out.name + f".__build{_os.getpid()}__")
+    if stage.exists():
+        _shutil.rmtree(stage)
+    stage.mkdir(parents=True)
     pd.DataFrame(sim_rows, columns=["corpus_key", "doc_id", "simhash"]).to_parquet(
-        out / "simhash.parquet", index=False
+        stage / "simhash.parquet", index=False
     )
     pd.DataFrame(mh_rows, columns=["corpus_key", "id_a", "id_b"]).to_parquet(
-        out / "minhash_candidates.parquet", index=False
+        stage / "minhash_candidates.parquet", index=False
     )
     ivf_rows: list[dict] = []
     for path in sorted(glob.glob("/root/testdata/sf*/embeddings.parquet")):
@@ -915,9 +933,13 @@ def _expected_docs_dir() -> str:
         for r in expected_ivf_topk(vecs, QUERY_VEC, k=10, n_cells=16, n_probe=8):
             ivf_rows.append({"corpus_key": corpus_key, **r})
     pd.DataFrame(ivf_rows, columns=["corpus_key", "vec_id", "similarity"]).to_parquet(
-        out / "ivf_topk.parquet", index=False
+        stage / "ivf_topk.parquet", index=False
     )
-    marker.touch()
+    (stage / "_DONE").touch()
+    try:
+        _os.rename(stage, out)
+    except OSError:
+        _shutil.rmtree(stage, ignore_errors=True)
     return str(out)
 
 
