@@ -634,6 +634,37 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("v", F.round("rank", 6).alias("rank")).orderBy("v")
 
 
+def q_join_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event gains the user's latest signup event
+    at-or-before its timestamp (operators/temporal_joins.py; one shuffle)."""
+    from sage_spark.operators.temporal_joins import asof_join
+
+    events = _read(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event_id")
+    )
+    out = asof_join(events, signups, on="user_id", right_cols=["signup_event_id"])
+    return out.select("event_id", F.col("asof_signup_event_id").alias("last_signup_event_id")).orderBy(
+        "event_id"
+    )
+
+
+def q_join_range_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events landing within one hour after a same-user purchase
+    (binned equi-join before the exact range predicate)."""
+    from sage_spark.operators.temporal_joins import range_join
+
+    events = _read(spark, sf_dir, "events")
+    windows = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+    )
+    out = range_join(events, windows, on="user_id", bin_seconds=3600)
+    return out.select("event_id", "window_id").orderBy("event_id", "window_id")
+
+
 def q_chat_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation dimension + PARTICIPATES_IN derivation over the message
     log (chat_store.py:236-297 as one groupBy)."""
@@ -713,6 +744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recency_weighted_events": q_recency_weighted_events,
         "ist_display_events": q_ist_display_events,
         "graph_one_hop_orders": q_graph_one_hop_orders,
+        "join_asof_last_signup": q_join_asof_last_signup,
+        "join_range_after_purchase": q_join_range_after_purchase,
         "agg_rollup_events": q_agg_rollup_events,
         "events_sessionize": q_events_sessionize,
         # text analysis (DuckDB-oracled)
@@ -1202,6 +1235,22 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT seed, src AS neighbor, type, 'in' AS direction FROM seeds JOIN edges ON seed = dst
             ) ORDER BY seed, neighbor, direction
+        """,
+        "join_asof_last_signup": """
+            SELECT l.event_id, r.event_id AS last_signup_event_id
+            FROM events l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id
+        """,
+        "join_range_after_purchase": """
+            SELECT e.event_id, p.event_id AS window_id
+            FROM events e
+            JOIN (SELECT user_id, event_id, ts AS start_ts,
+                         ts + INTERVAL 1 HOUR AS end_ts
+                  FROM events WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id AND e.ts >= p.start_ts AND e.ts < p.end_ts
+            ORDER BY e.event_id, window_id
         """,
         "agg_rollup_events": """
             SELECT event_type, CAST(ts AS DATE) AS day,

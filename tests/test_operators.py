@@ -412,3 +412,38 @@ def test_unigram_logprob_ranks_garbled_text_lower(spark):
     got = {r["doc_id"]: r["mean_unigram_logprob"] for r in with_unigram_logprob(docs).collect()}
     assert got[2] > got[1] > got[3]  # common words score higher than rare garble
     assert got[4] == 0.0
+
+
+def test_asof_and_range_join_semantics(spark):
+    from datetime import datetime
+
+    from sage_spark.operators.temporal_joins import asof_join, range_join
+
+    def t(h, m=0):
+        return datetime(2026, 4, 1, h, m)
+
+    left = spark.createDataFrame(
+        [("u1", t(9), "e1"), ("u1", t(12), "e2"), ("u2", t(10), "e3"), ("u3", t(10), "e4")],
+        "user string, ts timestamp, event string",
+    )
+    right = spark.createDataFrame(
+        [("u1", t(8), "s1"), ("u1", t(12), "s2"), ("u2", t(11), "s3")],
+        "user string, ts timestamp, snap string",
+    )
+    out = {r["event"]: r["asof_snap"] for r in asof_join(left, right, on="user", right_cols=["snap"]).collect()}
+    assert out == {"e1": "s1", "e2": "s2", "e3": None, "e4": None}  # ties match; later/absent don't
+
+    intervals = spark.createDataFrame(
+        [("u1", t(8, 30), t(9, 30), "w1"), ("u1", t(11), t(13), "w2"), ("u2", t(9), t(10, 1), "w3")],
+        "user string, start timestamp, end timestamp, wid string",
+    )
+    pairs = {
+        (r["event"], r["wid"])
+        for r in range_join(left, intervals, on="user", bin_seconds=900).collect()
+    }
+    assert pairs == {("e1", "w1"), ("e2", "w2"), ("e3", "w3")}
+
+    # plan shape: the binned range join must be an equi-join, never a
+    # cartesian/broadcast-nested-loop explosion
+    plan = range_join(left, intervals, on="user", bin_seconds=900)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
