@@ -634,6 +634,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("v", F.round("rank", 6).alias("rank")).orderBy("v")
 
 
+def q_agg_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous aggregate: hour buckets from raw events, day
+    buckets REAGGREGATED from the hour level (operators/rollup.py)."""
+    from sage_spark.operators.rollup import hypertable_rollup
+
+    events = _read(spark, sf_dir, "events")
+    out = hypertable_rollup(events, ts_col="ts", value_col="value", levels=("hour", "day"))
+    return out.orderBy("granularity", "bucket")
+
+
 def q_join_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every event gains the user's latest signup event
     at-or-before its timestamp (operators/temporal_joins.py; one shuffle)."""
@@ -746,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_one_hop_orders": q_graph_one_hop_orders,
         "join_asof_last_signup": q_join_asof_last_signup,
         "join_range_after_purchase": q_join_range_after_purchase,
+        "agg_hypertable_rollup": q_agg_hypertable_rollup,
         "agg_rollup_events": q_agg_rollup_events,
         "events_sessionize": q_events_sessionize,
         # text analysis (DuckDB-oracled)
@@ -1235,6 +1246,20 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT seed, src AS neighbor, type, 'in' AS direction FROM seeds JOIN edges ON seed = dst
             ) ORDER BY seed, neighbor, direction
+        """,
+        "agg_hypertable_rollup": """
+            WITH lv AS (
+                SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket,
+                       count(*) AS n, sum(value) AS s, min(value) AS mn, max(value) AS mx
+                FROM events GROUP BY 2
+                UNION ALL
+                SELECT 'day', date_trunc('day', ts), count(*), sum(value), min(value), max(value)
+                FROM events GROUP BY 2
+            )
+            SELECT granularity, bucket, n,
+                   round(s, 6) AS sum_value, round(mn, 6) AS min_value,
+                   round(mx, 6) AS max_value, round(s / n, 6) AS mean_value
+            FROM lv ORDER BY granularity, bucket
         """,
         "join_asof_last_signup": """
             SELECT l.event_id, r.event_id AS last_signup_event_id

@@ -447,3 +447,33 @@ def test_asof_and_range_join_semantics(spark):
     # cartesian/broadcast-nested-loop explosion
     plan = range_join(left, intervals, on="user", bin_seconds=900)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hypertable_rollup_reaggregates_exactly(spark):
+    """Coarser levels derive from finer pre-aggregates; the result must
+    equal a direct aggregation of the raw events at every granularity, and
+    only the finest level may scan the raw table."""
+    from datetime import datetime, timedelta
+
+    from sage_spark.operators.rollup import hypertable_rollup
+
+    base = datetime(2026, 4, 1)
+    rows = [(base + timedelta(minutes=17 * i), float(i % 7) + 0.25) for i in range(300)]
+    events = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = hypertable_rollup(events, levels=("minute", "hour", "day")).collect()
+    got = {(r["granularity"], r["bucket"]): (r["n"], r["sum_value"], r["min_value"], r["max_value"]) for r in out}
+    for lvl in ("minute", "hour", "day"):
+        direct = events.groupBy(F.date_trunc(lvl, "ts").alias("b")).agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("s"),
+            F.round(F.min("value"), 6).alias("mn"),
+            F.round(F.max("value"), 6).alias("mx"),
+        ).collect()
+        for r in direct:
+            assert got[(lvl, r["b"])] == (r["n"], r["s"], r["mn"], r["mx"]), (lvl, r["b"])
+
+    # raw table scanned exactly once: the finest level is materialized and
+    # coarser levels derive from the checkpoint, never from raw events
+    plan = hypertable_rollup(events, levels=("minute", "hour", "day"))._jdf.queryExecution().optimizedPlan().toString()
+    raw_scans = [l for l in plan.splitlines() if "LogicalRDD" in l and "ts#" in l]
+    assert raw_scans == []  # every scan in the plan reads the materialized bucket table, never raw events
