@@ -43,25 +43,31 @@ def pagerank(
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
-        dangling = (
-            ranks.join(out_deg.withColumnRenamed("src", "v"), "v", "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+        # one left join carries both the contribution input and the dangling
+        # mass: null-degree rank aggregates into a broadcast 1-row frame, so
+        # the whole iteration is a single distributed plan with no driver
+        # round-trip for the scalar
+        rd = ranks.join(out_deg.withColumnRenamed("src", "v"), "v", "left")
+        dangling = F.broadcast(
+            rd.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("deg").isNull(), F.col("rank"))), F.lit(0.0)
+                ).alias("__dang")
+            )
         )
-        contribs = (
-            e.join(ranks.withColumnRenamed("v", "src"), "src")
-            .join(out_deg, "src")
-            .select(F.col("dst").alias("v"), (F.col("rank") / F.col("deg")).alias("c"))
-        )
+        contribs = e.join(
+            rd.filter(F.col("deg").isNotNull()).withColumnRenamed("v", "src"), "src"
+        ).select(F.col("dst").alias("v"), (F.col("rank") / F.col("deg")).alias("c"))
         summed = contribs.groupBy("v").agg(F.sum("c").alias("s"))
         ranks = (
             verts.join(summed, "v", "left")
+            .join(dangling)
             .select(
                 "v",
                 (
                     F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dangling / n))
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("__dang") / n)
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

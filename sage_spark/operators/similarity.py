@@ -37,12 +37,22 @@ def cosine_topk(
     embedding_col: str = "embedding",
     *,
     score_col: str = "similarity",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine. The plan is scan -> project (codegen'd dot
     product) -> TakeOrderedAndProject: no shuffle of the full table, each
-    partition forwards only its local top-k."""
+    partition forwards only its local top-k.
+
+    An exact similarity tie at the k boundary is broken deterministically by
+    ``tiebreak_col`` ascending (default: ``vec_id`` when present) so the
+    result is stable across partitionings and matches the serial replay."""
+    if tiebreak_col is None and "vec_id" in df.columns:
+        tiebreak_col = "vec_id"
+    order = [F.col(score_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
     scored = df.withColumn(score_col, cosine_to_query(F.col(embedding_col), query))
-    return scored.orderBy(F.col(score_col).desc()).limit(k)
+    return scored.orderBy(*order).limit(k)
 
 
 def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:

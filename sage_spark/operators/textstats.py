@@ -28,10 +28,6 @@ def token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), F.lit(0)))
 
 
-def word_count(col: Column) -> Column:
-    return F.size(F.split(F.trim(col), r"\s+"))
-
-
 def _marker_hits(col: Column, words: list[str]) -> Column:
     lowered = F.lower(col)
     tokens = F.regexp_extract_all(lowered, F.lit("[a-z]+"), F.lit(0))
@@ -201,24 +197,45 @@ def with_unigram_logprob(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,
+    materialize: bool = True,
 ) -> DataFrame:
     """LM-proxy quality score: mean corpus-unigram log-probability per
     document (the cheap stand-in for model perplexity used to rank crawl
-    text). Two passes, both relational: (1) global token counts — one
-    partial-agg shuffle keyed on the token; (2) tokens re-join their corpus
-    probability and average per document. Rare-word-heavy or garbled
-    documents score low; no model download, fully deterministic, and the
-    whole computation is plain SQL (oracle-checkable)."""
+    text).
+
+    ONE tokenize+explode pass over the corpus, full stop: the explode feeds
+    a per-document term-frequency table (doc, tok, tf) — orders of magnitude
+    smaller than the raw token stream — which is materialized and then
+    REAGGREGATED for everything downstream (vocab counts = sum of tf, corpus
+    total = sum of vocab, per-doc mean = tf-weighted join-back). Without the
+    materialization Catalyst re-derives the TF subtree per consumer (column
+    pruning makes the subtrees non-identical, so exchange reuse does not
+    fire) and the corpus gets re-exploded three times — at 100 TB the
+    explode is the expensive part and it must run exactly once. In
+    production the TF table is the persisted intermediate (Iceberg);
+    localCheckpoint is its in-session stand-in, same discipline as
+    operators/rollup.py.
+
+    Rare-word-heavy or garbled documents score low; no model download,
+    fully deterministic, and oracle-checkable in plain SQL."""
     toks = df.select(
         F.col(id_col),
         F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0))).alias("tok"),
     )
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    total = toks.count()  # one scalar; at 100 TB this is a cheap agg, not data movement
-    scored = toks.join(vocab, "tok").select(
-        F.col(id_col), (F.log(F.col("c") / F.lit(float(total)))).alias("lp")
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    if materialize:
+        tf = tf.localCheckpoint(eager=True)
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    total = F.broadcast(vocab.agg(F.sum("c").cast("double").alias("__total")))
+    scored = tf.join(vocab, "tok").join(total).select(
+        F.col(id_col),
+        (F.col("tf") * F.log(F.col("c") / F.col("__total"))).alias("w"),
+        F.col("tf"),
     )
-    per_doc = scored.groupBy(id_col).agg(F.round(F.avg("lp"), 6).alias("mean_unigram_logprob"))
+    per_doc = scored.groupBy(id_col).agg(
+        F.round(F.sum("w") / F.sum("tf"), 6).alias("mean_unigram_logprob")
+    )
     return df.select(id_col).join(per_doc, id_col, "left").fillna(
         {"mean_unigram_logprob": 0.0}
     )

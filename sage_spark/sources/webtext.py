@@ -63,7 +63,9 @@ def write_webtext_jsonl(webtext: DataFrame, path: str) -> None:
     """Inverse adapter (tests + export): bytes -> base64, timestamp -> ISO."""
     out = webtext.select(
         "url",
-        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("warc_ts"),
+        # fractional-second pattern: real crawl timestamps carry sub-second
+        # precision; a seconds-only format would silently truncate it
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("warc_ts"),
         F.base64(F.col("html")).alias("html_b64"),
         "text",
         "lang",

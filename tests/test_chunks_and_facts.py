@@ -322,3 +322,54 @@ def test_sentence_embedder_structure():
     assert fake.seen[1] == "short"
     assert vecs[0] == [float(EMBED_INPUT_MAX_CHARS + v) for v in range(4)]
     assert isinstance(vecs[0], list)  # numpy arrays are converted for Arrow
+
+
+def test_sentence_embedder_loads_model_via_import(monkeypatch):
+    """Exercise the real-model __init__ branch without the weights: a fake
+    ``sentence_transformers`` module is injected into sys.modules, and the
+    constructor must (1) pass the mpnet model name through, (2) adopt the
+    model's embedding dimension, and (3) route encode() through the model
+    with the same truncation contract as the fallback."""
+    import sys
+    import types
+
+    import numpy as np
+
+    import sage_spark.kernel.embed as embed_mod
+
+    constructed = []
+
+    class FakeST:
+        def __init__(self, name):
+            constructed.append(name)
+
+        def get_sentence_embedding_dimension(self):
+            return 768
+
+        def encode(self, texts):
+            return [np.full(768, float(len(t)), dtype=np.float32) for t in texts]
+
+    fake_module = types.ModuleType("sentence_transformers")
+    fake_module.SentenceTransformer = FakeST
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake_module)
+
+    emb = embed_mod.SentenceEmbedder()
+    assert constructed == ["sentence-transformers/all-mpnet-base-v2"]
+    assert emb.dim == 768 and emb._model is not None
+
+    long_text = "y" * (embed_mod.EMBED_INPUT_MAX_CHARS + 123)
+    vecs = emb.encode([long_text, "ab"])
+    assert len(vecs) == 2 and len(vecs[0]) == 768
+    assert vecs[0][0] == float(embed_mod.EMBED_INPUT_MAX_CHARS)  # truncated input
+    assert vecs[1][0] == 2.0
+    assert isinstance(vecs[0], list)  # Arrow-serializable, same as fallback
+
+    # a broken model import must fall back to the hash path, not raise
+    class Boom(types.ModuleType):
+        def __getattr__(self, name):
+            raise RuntimeError("no weights")
+
+    monkeypatch.setitem(sys.modules, "sentence_transformers", Boom("sentence_transformers"))
+    fb = embed_mod.SentenceEmbedder()
+    assert fb._model is None and fb.dim == embed_mod.DEFAULT_DIM
+    assert fb.encode(["z"])[0] == embed_mod.hash_embedding("z", embed_mod.DEFAULT_DIM)

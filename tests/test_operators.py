@@ -449,6 +449,56 @@ def test_asof_and_range_join_semantics(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_asof_join_payload_comes_from_one_right_row(spark):
+    """Multi-column nullable payload: a NULL in the LATEST matching right row
+    must stay NULL, never back-fill from an older right row (the per-column
+    carry bug). The whole payload travels as one struct."""
+    from datetime import datetime
+
+    from sage_spark.operators.temporal_joins import asof_join
+
+    def t(h):
+        return datetime(2026, 4, 1, h)
+
+    left = spark.createDataFrame([("u1", t(12), "e1")], "user string, ts timestamp, event string")
+    right = spark.createDataFrame(
+        [("u1", t(8), "old-a", "old-b"), ("u1", t(10), "new-a", None)],
+        "user string, ts timestamp, a string, b string",
+    )
+    row = asof_join(left, right, on="user", right_cols=["a", "b"]).collect()[0]
+    assert row["asof_a"] == "new-a"
+    assert row["asof_b"] is None  # NOT "old-b": both columns from the t(10) row
+
+
+def test_asof_join_bucketed_matches_unbucketed_under_skew(spark):
+    """The skew-safe time-bucketed carry must be result-identical to the
+    plain per-key window, including one dominant hot key and buckets with no
+    right rows (boundary carry across empty buckets)."""
+    from datetime import datetime, timedelta
+
+    from sage_spark.operators.temporal_joins import asof_join
+
+    base = datetime(2026, 4, 1)
+    # hot key u0 gets 400 left rows over 50 hours; right snapshots every 7h;
+    # u1 sparse; u2 has left rows but zero right rows
+    left_rows = [("u0", base + timedelta(minutes=7 * i), f"e{i}") for i in range(400)]
+    left_rows += [("u1", base + timedelta(hours=30), "x1"), ("u2", base + timedelta(hours=2), "x2")]
+    right_rows = [("u0", base + timedelta(hours=7 * j), f"s{j}", j) for j in range(8)]
+    right_rows += [("u1", base + timedelta(hours=1), "r1", 100)]
+    left = spark.createDataFrame(left_rows, "user string, ts timestamp, event string")
+    right = spark.createDataFrame(right_rows, "user string, ts timestamp, snap string, v int")
+
+    plain = asof_join(left, right, on="user", right_cols=["snap", "v"])
+    bucketed = asof_join(left, right, on="user", right_cols=["snap", "v"], time_bucket_seconds=3600)
+    key = lambda r: (r["user"], r["ts"], r["event"])  # noqa: E731
+    a = sorted((tuple(r.asDict().items()) for r in plain.collect()), key=repr)
+    b = sorted((tuple(r.asDict().items()) for r in bucketed.collect()), key=repr)
+    assert a == b
+    got = {r["event"]: r["asof_snap"] for r in bucketed.collect()}
+    assert got["x2"] is None and got["x1"] == "r1"
+    assert got["e0"] == "s0" and got["e399"] is not None
+
+
 def test_hypertable_rollup_reaggregates_exactly(spark):
     """Coarser levels derive from finer pre-aggregates; the result must
     equal a direct aggregation of the raw events at every granularity, and

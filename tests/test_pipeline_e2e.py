@@ -324,6 +324,14 @@ def test_jsonl_webtext_source_round_trips(spark, tmp_path):
     from sage_spark.sources.webtext import read_webtext_jsonl, write_webtext_jsonl
 
     webtext, _ = synth_webtext(spark, 40, n_persons=10, seed=13, partitions=3)
+    # real crawl timestamps carry sub-second precision: perturb warc_ts with
+    # a per-row microsecond offset so truncation in the writer would fail
+    webtext = webtext.withColumn(
+        "warc_ts",
+        F.timestamp_micros(
+            F.unix_micros("warc_ts") + F.pmod(F.xxhash64("url"), F.lit(1_000_000))
+        ),
+    )
     path = str(tmp_path / "dump.jsonl")
     write_webtext_jsonl(webtext, path)
     back = read_webtext_jsonl(spark, path)

@@ -106,6 +106,41 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_edges_b")
 
 
+def test_unigram_logprob_single_explode(spark):
+    """The corpus must be tokenized exactly once: the explode lives in the
+    materialized TF build, so the final plan contains NO Generate and never
+    rescans the text column (vocab/total/per-doc all reaggregate the TF
+    table)."""
+    from sage_spark.operators.textstats import with_unigram_logprob
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    out = with_unigram_logprob(docs)
+    plan = _plan(spark, out)
+    assert "Generate" not in plan, plan  # tokenization ran once, in the TF job
+    for schema in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        assert "text" not in schema  # only doc_id is rescanned for the left join
+
+
+def test_pagerank_iterations_launch_no_collect_jobs(spark):
+    """The dangling-mass term must be folded into the distributed plan: an
+    iteration executes via localCheckpoint only — pagerank() never calls
+    .collect() after the initial vertex count."""
+    import sage_spark.operators.pagerank as pr_mod
+    from sage_spark.operators.pagerank import pagerank
+
+    src = open(pr_mod.__file__).read()
+    body = src.split("for _ in range(iterations):", 1)[1]
+    assert ".collect()" not in body  # loop body is collect-free by construction
+
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], "src string, dst string"
+    )
+    ranks = {r["v"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # mass conserved incl. dangling d
+
+
 def test_exchange_reuse_in_minhash_self_join(spark):
     from pyspark.sql import functions as F
 

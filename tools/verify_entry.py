@@ -66,9 +66,28 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             duck_cols = list(rel.columns)
+            duck_types = [str(t).upper() for t in rel.types]
             duck_rows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        # The driver hashes typed values: a DuckDB HUGEINT/INT32/DECIMAL where
+        # Spark emits BIGINT/DOUBLE hash-mismatches even when values are equal
+        # (the round-2 corpus_stats_by_source lesson). Flag width mismatches.
+        spark_types = dict(df.dtypes)
+        type_warn = []
+        for c, dt in zip(duck_cols, duck_types):
+            st = spark_types.get(c, spark_types.get(c.lower(), ""))
+            # HUGEINT/DECIMAL leave pandas' int64 fast path (object/float64),
+            # which is what broke corpus_stats_by_source in round 2; plain
+            # int-width differences (int32 vs int64) hash identically.
+            if st == "bigint" and dt in ("HUGEINT", "UBIGINT"):
+                type_warn.append((c, st, dt))
+            if st == "double" and (dt.startswith("DECIMAL") or dt == "FLOAT"):
+                type_warn.append((c, st, dt))
+        if type_warn:
+            print(f"FAIL  {name}: oracle/spark type-width mismatch (driver hash risk): {type_warn}")
             failures += 1
             continue
         if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
