@@ -526,6 +526,158 @@ def q_retrieval_person_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("rank_score").desc(), F.col("identifier").asc())
 
 
+def _trace_oracle_sql(which: str) -> str:
+    """DuckDB oracle for the trace queries: the person-scoped chunk CTE plus
+    the three literal facts, with the trace columns (paths, relationship,
+    hop count, matched entities) built by the same deterministic rules. The
+    expected matched-entity lists are hand-derived goldens of the
+    displayable rule over the literal fact fields."""
+    fact_matched = {
+        "f_alpha": "['alice smith', 'u1', 'acme corp']",
+        "f_beta": "['bob jones', 'u1']",
+        "f_gamma": "['delta team']",
+    }
+    fact_boost = {"f_alpha": 0.25, "f_beta": 0.1, "f_gamma": 0.0}
+    fact_vals = ",\n                ".join(
+        "('{fid}', {boost!r}, {matched}, {vec})".format(
+            fid=fid,
+            boost=fact_boost[fid],
+            matched=fact_matched[fid],
+            vec="[" + ", ".join(f"{v!r}" for v in hash_embedding(seed, 64)) + "]::DOUBLE[]",
+        )
+        for fid, _ck, _ct, _sk, _se, _ok, _oe, _summ, seed in _TRACE_FACT_DEFS
+    )
+    body = f"""
+            WITH scored AS (
+                SELECT CAST(vec_id AS VARCHAR) AS identifier, label,
+                       list_dot_product(CAST(embedding AS DOUBLE[]), {_PS_QVEC_SQL})
+                       / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product({_PS_QVEC_SQL}, {_PS_QVEC_SQL}))) AS sim
+                FROM embeddings
+            ), topk_global AS (
+                SELECT identifier, label, sim FROM scored ORDER BY sim DESC, identifier LIMIT 3
+            ), topk_person AS (
+                SELECT identifier, label, sim FROM scored WHERE label = 1 ORDER BY sim DESC, identifier LIMIT 3
+            ), chunk_merged AS (
+                SELECT identifier, max(sim) AS sim, max(label) AS label
+                FROM (SELECT * FROM topk_global UNION ALL SELECT * FROM topk_person)
+                GROUP BY identifier
+            ), chunk_rows AS (
+                SELECT identifier, 'chunk' AS kind, 'RELATED_TO' AS relationship,
+                       round(sim, 4) AS similarity, round(sim, 4) AS rank_score,
+                       'Person -(SENT|RECEIVED_BY)- Document(' || identifier || ') <-PART_OF- Chunk(' || identifier || ')' AS retrieval_path,
+                       2 AS hop_count, identifier AS doc_id, 's' AS subject,
+                       'u' || CAST(label AS VARCHAR) AS sender,
+                       ['u' || CAST(label AS VARCHAR), 's'] AS matched_entities
+                FROM chunk_merged
+            ), fact_defs(identifier, boost, matched_entities, femb) AS (VALUES
+                {fact_vals}
+            ), fact_rows AS (
+                SELECT identifier, 'fact' AS kind, 'CANONICAL_FACT' AS relationship,
+                       round(sim, 4) AS similarity, round(sim + 0.05 + boost, 4) AS rank_score,
+                       'Person -> CanonicalFact -> Document' AS retrieval_path,
+                       2 AS hop_count, CAST(NULL AS VARCHAR) AS doc_id,
+                       CAST(NULL AS VARCHAR) AS subject, CAST(NULL AS VARCHAR) AS sender,
+                       matched_entities
+                FROM (
+                    SELECT identifier, boost, matched_entities,
+                           list_dot_product(femb, {_PS_QVEC_SQL})
+                           / (sqrt(list_dot_product(femb, femb))
+                              * sqrt(list_dot_product({_PS_QVEC_SQL}, {_PS_QVEC_SQL}))) AS sim
+                    FROM fact_defs
+                )
+            ), all_rows AS (
+                SELECT * FROM chunk_rows UNION ALL SELECT * FROM fact_rows
+            ), ranked AS (
+                SELECT *, CAST(row_number() OVER (ORDER BY rank_score DESC, identifier ASC) AS INT) AS rank
+                FROM all_rows
+            )"""
+    if which == "evidence":
+        return body + "\n            SELECT * FROM ranked ORDER BY rank"
+    return body + """
+            SELECT CAST(count(*) AS BIGINT) AS result_count,
+                   CAST(max(hop_count) AS BIGINT) AS max_hop_count,
+                   min_by(retrieval_path, rank) AS retrieval_path,
+                   true AS user_scoped
+            FROM ranked"""
+
+
+# --- retrieval trace (reference services.py:1159-1329) ---------------------
+# the person-scoped chunk scenario plus three literal facts chosen to
+# exercise the CANONICAL_FACT branch, the personalization boosts, and every
+# displayable-entity filter rule (machine keys, numeric ids, NULLs)
+_TRACE_FACT_DEFS = [
+    # fact_id, canonical_key, claim_type, subject_key, subject_entity_id,
+    # object_key, object_entity_id, summary, embedding seed
+    ("f_alpha", "employment::alice", "EMPLOYMENT", "alice smith", "u1", "acme corp", None, "alice employment record", "fact alpha"),
+    ("f_beta", "meeting::sync", "MEETING", "reports_to::x", None, "bob jones", "u1", "team sync notes", "fact beta"),
+    ("f_gamma", "status::delta", "STATUS_UPDATE", "12345", None, "delta team", None, "delta status", "fact gamma"),
+]
+
+
+def _trace_inputs(spark: SparkSession, sf_dir: str):
+    emb = _read(spark, sf_dir, "embeddings")
+    chunks = emb.select(
+        F.col("vec_id").cast("string").alias("chunk_id"),
+        F.col("vec_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("summary"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    documents = emb.select(
+        F.col("vec_id").cast("string").alias("doc_id"),
+        F.lit("s").alias("subject"),
+        F.concat(F.lit("u"), F.col("label").cast("string")).alias("sender"),
+        F.lit(None).cast("string").alias("timestamp"),
+    )
+    edges = emb.filter(F.col("label") == 1).select(
+        F.lit("u1").alias("src"),
+        F.col("vec_id").cast("string").alias("dst"),
+        F.lit("SENT").alias("type"),
+    )
+    fact_rows = [
+        (fid, ck, ct, "current", sk, se, ok_, oe, summ, None, None, hash_embedding(seed, 64))
+        for fid, ck, ct, sk, se, ok_, oe, summ, seed in _TRACE_FACT_DEFS
+    ]
+    facts = spark.createDataFrame(
+        fact_rows,
+        "fact_id string, canonical_key string, claim_type string, status string, "
+        "subject_key string, subject_entity_id string, object_key string, object_entity_id string, "
+        "summary string, first_seen_at string, last_seen_at string, embedding array<double>",
+    )
+    return chunks, documents, facts, edges
+
+
+def q_retrieval_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-facing retrieval trace: ranked evidence rows with
+    relationship labels, retrieval-path strings, hop counts, supporting-doc
+    fields, and displayable matched entities (reference trace assembly,
+    services.py:1159-1329; displayable rule services.py:758-780)."""
+    from datetime import datetime, timezone
+
+    from sage_spark.operators.retrieval import trace_evidence
+
+    chunks, documents, facts, edges = _trace_inputs(spark, sf_dir)
+    return trace_evidence(
+        chunks, documents, facts, _PS_QUERY,
+        user_id="u1", edges=edges, now=datetime(2026, 1, 1, tzinfo=timezone.utc), k=10,
+    )
+
+
+def q_retrieval_trace_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trace header: result_count / max_hop_count / top retrieval path
+    (reference services.py:1319-1329)."""
+    from datetime import datetime, timezone
+
+    from sage_spark.operators.retrieval import trace_evidence, trace_summary
+
+    chunks, documents, facts, edges = _trace_inputs(spark, sf_dir)
+    ev = trace_evidence(
+        chunks, documents, facts, _PS_QUERY,
+        user_id="u1", edges=edges, now=datetime(2026, 1, 1, tzinfo=timezone.utc), k=10,
+    )
+    return trace_summary(ev, user_scoped=True)
+
+
 def q_kg_facts_with_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8: current facts joined to their first supporting document."""
     from sage_spark.operators.canonicalize import split_edges
@@ -801,6 +953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_recall": q_sim_ivf_recall,
         # retrieval read path (person-scoped J2/R2, DuckDB-oracled)
         "retrieval_person_scoped": q_retrieval_person_scoped,
+        "retrieval_trace": q_retrieval_trace,
+        "retrieval_trace_summary": q_retrieval_trace_summary,
         # chat/conversation graph (J9 + conversation dim, oracled)
         "chat_conversations": q_chat_conversations,
         "chat_message_access": q_chat_message_access,
@@ -1157,6 +1311,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT identifier, 'chunk' AS kind, round(sim, 6) AS rank_score, identifier AS doc_id
             FROM merged ORDER BY sim DESC, identifier
         """,
+        "retrieval_trace": _trace_oracle_sql("evidence"),
+        "retrieval_trace_summary": _trace_oracle_sql("summary"),
         "dedup_ngram_jaccard": """
             WITH norm AS (
                 SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..kernel.embed import hash_embedding
 from ..kernel.retrieval import (
@@ -61,7 +61,7 @@ def retrieve(
     """End-to-end retrieval: classify -> embed -> R1/R3 cosine top-k ->
     R6/R7 boosts -> R8 merge -> R9 combine -> top ``k``.
 
-    Returns (identifier, kind, rank_score, summary, doc_id).
+    Returns (identifier, kind, rank_score, similarity, summary, doc_id).
     """
     qtype = classify_query(query_text)
     terms = focus_terms(query_text)
@@ -127,6 +127,7 @@ def retrieve(
         F.col("chunk_id").alias("identifier"),
         F.lit("chunk").alias("kind"),
         chunk_rank.alias("rank_score"),
+        F.col("similarity"),
         F.col("summary"),
         F.col("doc_id"),
     )
@@ -211,6 +212,7 @@ def retrieve(
         F.col("fact_id").alias("identifier"),
         F.lit("fact").alias("kind"),
         fact_rank.alias("rank_score"),
+        F.col("similarity"),
         F.col("summary"),
         F.lit(None).cast("string").alias("doc_id"),
     )
@@ -224,4 +226,113 @@ def retrieve(
         .drop("__rn")
         .orderBy(F.col("rank_score").desc(), F.col("identifier").asc())
         .limit(k)
+    )
+
+
+def displayable_entity_col(c) -> Column:
+    """Column form of kernel.retrieval.is_displayable_trace_entity (P8,
+    reference services.py:758-780): drop ids, hashes, and machine keys from
+    user-facing trace output. Pure codegen regexp/string predicates."""
+    text = F.trim(F.coalesce(c.cast("string"), F.lit("")))
+    lowered = F.lower(text)
+    return (
+        (text != "")
+        & ~lowered.isin("currentuser", "unknown", "node", "group", "sage")
+        & ~lowered.startswith("chat message ")
+        & ~lowered.startswith("chat-msg-")
+        & ~lowered.contains("-chunk-")
+        & ~lowered.startswith("assignment::")
+        & ~lowered.startswith("meeting::")
+        & ~lowered.startswith("reports_to::")
+        & ~lowered.startswith("direct:")
+        & ~lowered.startswith("group")
+        & ~lowered.startswith("message-attachment-")
+        & ~text.rlike(r"^[0-9]+$")
+        & ~lowered.rlike(r"^[0-9a-f]{32,64}$")
+        & text.rlike(r"[a-zA-Z]")
+    )
+
+
+def trace_evidence(
+    chunks: DataFrame,
+    documents: DataFrame,
+    facts: DataFrame,
+    query_text: str,
+    *,
+    user_id: str | None = None,
+    now: datetime,
+    edges: DataFrame | None = None,
+    k: int = 5,
+    topk_per_source: int = 3,
+) -> DataFrame:
+    """The user-facing retrieval trace (reference services.py:1159-1329):
+    each ranked result becomes one evidence row with its relationship label,
+    retrieval path string, hop count, supporting-document fields, and the
+    displayable matched entities — all assembled as column expressions over
+    the ranked-retrieval core (``retrieve``).
+
+    Returns (rank, identifier, kind, relationship, similarity, rank_score,
+    retrieval_path, hop_count, doc_id, subject, sender, matched_entities).
+    """
+    user_scoped = user_id is not None and bool(FIRST_PERSON_RE.search(query_text))
+    res = retrieve(
+        chunks, documents, facts, query_text,
+        user_id=user_id, now=now, edges=edges, k=k, topk_per_source=topk_per_source,
+    )
+    doc_dim = documents.select("doc_id", "subject", "sender")
+    fact_dim = facts.select(
+        F.col("fact_id").alias("identifier"),
+        F.col("subject_key").alias("f_subject_key"),
+        F.col("subject_entity_id").alias("f_subject_entity_id"),
+        F.col("object_key").alias("f_object_key"),
+        F.col("object_entity_id").alias("f_object_entity_id"),
+    )
+    ev = res.join(F.broadcast(doc_dim), "doc_id", "left").join(
+        F.broadcast(fact_dim), "identifier", "left"
+    )
+    is_fact = F.col("kind") == "fact"
+    # reference _build_fact_path_summary / _build_evidence_path (no related
+    # node surfaced here, so related_label is None on the chunk branch)
+    fact_path = F.lit("Person -> CanonicalFact -> Document" if user_scoped else "CanonicalFact -> Document")
+    chunk_doc = F.concat(F.lit("Document("), F.coalesce(F.col("doc_id"), F.lit("unknown")), F.lit(")"))
+    chunk_chunk = F.concat(F.lit("Chunk("), F.coalesce(F.col("identifier"), F.lit("unknown")), F.lit(")"))
+    if user_scoped:
+        chunk_path = F.concat_ws(" ", F.lit("Person"), F.lit("-(SENT|RECEIVED_BY)-"), chunk_doc, F.lit("<-PART_OF-"), chunk_chunk)
+    else:
+        chunk_path = F.concat_ws(" ", chunk_doc, F.lit("<-PART_OF-"), chunk_chunk)
+    hops = F.lit(2 if user_scoped else 1)
+    # matched-entity candidates in the reference's append order, filtered by
+    # the displayable rule and de-duplicated preserving first occurrence
+    cands = F.when(
+        is_fact,
+        F.array("f_subject_key", "f_subject_entity_id", "f_object_key", "f_object_entity_id"),
+    ).otherwise(F.array("sender", "subject"))
+    matched = F.array_distinct(F.filter(cands, lambda x: displayable_entity_col(x)))
+    out = ev.select(
+        F.col("identifier"),
+        F.col("kind"),
+        F.when(is_fact, F.lit("CANONICAL_FACT")).otherwise(F.lit("RELATED_TO")).alias("relationship"),
+        F.round(F.col("similarity"), 4).alias("similarity"),
+        F.round(F.col("rank_score"), 4).alias("rank_score"),
+        F.when(is_fact, fact_path).otherwise(chunk_path).alias("retrieval_path"),
+        hops.alias("hop_count"),
+        F.col("doc_id"),
+        F.col("subject"),
+        F.col("sender"),
+        matched.alias("matched_entities"),
+    )
+    w = Window.orderBy(F.col("rank_score").desc(), F.col("identifier").asc())
+    return out.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+def trace_summary(evidence: DataFrame, *, user_scoped: bool) -> DataFrame:
+    """Trace header (services.py:1319-1329): result_count, max_hop_count,
+    and the top result's retrieval path (fallback: the scope's default path
+    summary when no evidence survives)."""
+    default_path = "Person -> Document -> Chunk" if user_scoped else "Document -> Chunk"
+    return evidence.agg(
+        F.count("*").cast("long").alias("result_count"),
+        F.coalesce(F.max("hop_count"), F.lit(0)).cast("long").alias("max_hop_count"),
+        F.coalesce(F.min_by("retrieval_path", "rank"), F.lit(default_path)).alias("retrieval_path"),
+        F.lit(user_scoped).alias("user_scoped"),
     )

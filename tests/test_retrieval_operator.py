@@ -114,3 +114,40 @@ def test_retrieve_task_lookup_prioritizes_personal_fact(spark):
     ).collect()
     assert out[0]["identifier"] == "f1"
     assert out[0]["kind"] == "fact"
+
+
+def test_trace_evidence_global_scope_paths_and_matched_entities(spark):
+    """Non-scoped trace: chunk paths are Document(id) <-PART_OF- Chunk(id)
+    with hop 1, fact rows get the CANONICAL_FACT relationship, and matched
+    entities pass the displayable filter (machine keys and numeric ids
+    dropped, reference services.py:758-780)."""
+    from sage_spark.operators.retrieval import trace_evidence, trace_summary
+
+    chunks, documents, facts = _fixture(spark)
+    ev = trace_evidence(chunks, documents, facts, "who reports to alice", now=NOW, k=5).collect()
+    assert [r["rank"] for r in ev] == list(range(1, len(ev) + 1))
+    scores = [r["rank_score"] for r in ev]
+    assert scores == sorted(scores, reverse=True)
+    by_id = {r["identifier"]: r for r in ev}
+    top = by_id["d1-chunk-0"]
+    assert top["relationship"] == "RELATED_TO"
+    assert top["retrieval_path"] == "Document(d1) <-PART_OF- Chunk(d1-chunk-0)"
+    assert top["hop_count"] == 1
+    assert top["matched_entities"] == ["EMP001", "Org update"]
+    fact_rows = [r for r in ev if r["kind"] == "fact"]
+    assert fact_rows and all(r["relationship"] == "CANONICAL_FACT" for r in fact_rows)
+    assert all(r["retrieval_path"] == "CanonicalFact -> Document" for r in fact_rows)
+    for r in fact_rows:  # EMP-ids are displayable; 'server' plain word kept
+        assert all(m and not m.isdigit() for m in r["matched_entities"])
+
+    summary = trace_summary(spark.createDataFrame(ev), user_scoped=False).collect()[0]
+    assert summary["result_count"] == len(ev)
+    assert summary["max_hop_count"] == 1
+    assert summary["retrieval_path"] == ev[0]["retrieval_path"]
+
+    # empty evidence: fallback default path, zero counts
+    empty = trace_summary(
+        spark.createDataFrame([], spark.createDataFrame(ev).schema), user_scoped=False
+    ).collect()[0]
+    assert empty["result_count"] == 0 and empty["max_hop_count"] == 0
+    assert empty["retrieval_path"] == "Document -> Chunk"
