@@ -41,6 +41,11 @@ def main() -> None:
     ap.add_argument("--input-format", default="parquet", choices=["parquet", "jsonl", "json"])
     ap.add_argument("--embed-chunks", action="store_true")
     ap.add_argument("--synthetic", type=int, default=0, help="generate N synthetic docs instead of --input")
+    ap.add_argument(
+        "--store-buckets", type=int, default=16,
+        help="hash-bucket the store tables so upserts rewrite only touched "
+             "buckets (0 = legacy whole-table rewrite)",
+    )
     args = ap.parse_args()
 
     run_ts = args.run_ts or datetime.now(timezone.utc).isoformat()
@@ -63,7 +68,7 @@ def main() -> None:
             [r.asDict() for r in spark.read.parquet(args.groups).collect()] if args.groups else []
         )
 
-    store = TableStore(args.store)
+    store = TableStore(args.store, buckets=args.store_buckets or None)
     result = run_pipeline(
         spark,
         webtext,

@@ -2,13 +2,25 @@
 
 Production target is Iceberg (``MERGE INTO documents USING updates ON
 doc_id`` etc. — SURVEY.md §2.1 S8-S15); this container has no Iceberg
-runtime jars, so the same contract is provided over plain parquet:
-``upsert`` rewrites the table as (existing ANTI-JOIN updates) UNION updates.
+runtime jars, so the same contract is provided over plain parquet.
 All row identities are content hashes (doc_id/claim_id/fact_id), so re-running
 any partition of any stage and upserting again is a no-op — that is the
 checkpoint/resume story the north rule requires.
 
-Writes go to a temp dir then swap, so a killed job never leaves a
+Two layouts:
+
+* legacy (``buckets=None``): ``upsert`` rewrites the whole table as
+  (existing ANTI-JOIN updates) UNION updates — simple, O(store) per batch.
+* hash-bucketed (``buckets=N``): rows live in ``__bucket=K/`` partition dirs
+  keyed by xxhash64 of the upsert key. An upsert reads ONLY the buckets its
+  updates hash into (partition pruning on the scan) and rewrites ONLY those
+  bucket dirs (dynamic partition overwrite) — per-batch cost scales with the
+  batch's touched buckets, not the store, which is the parquet analog of an
+  Iceberg MERGE at 10^12-row store scale. Iceberg additionally gives atomic
+  snapshot commits; dynamic overwrite swaps each touched bucket dir
+  non-atomically, an accepted stand-in here.
+
+Full-table writes go to a temp dir then swap, so a killed job never leaves a
 half-written table.
 """
 
@@ -17,14 +29,17 @@ from __future__ import annotations
 import shutil
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
+
+BUCKET_COL = "__bucket"
 
 
 class TableStore:
-    def __init__(self, root: str | Path) -> None:
+    def __init__(self, root: str | Path, *, buckets: int | None = None) -> None:
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        self.buckets = buckets
 
     def path(self, table: str) -> Path:
         return self.root / table
@@ -37,7 +52,10 @@ class TableStore:
             if schema is None:
                 raise FileNotFoundError(f"table {table} does not exist and no schema given")
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(str(self.path(table)))
+        df = spark.read.parquet(str(self.path(table)))
+        # bucketed tables surface the partition dir as a column; the layout
+        # is an implementation detail, not part of the table contract
+        return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
     def overwrite(self, df: DataFrame, table: str) -> None:
         target = self.path(table)
@@ -52,22 +70,52 @@ class TableStore:
     def append(self, df: DataFrame, table: str) -> None:
         df.write.mode("append").parquet(str(self.path(table)))
 
+    def _bucket_expr(self, keys: list[str]) -> Column:
+        key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+        return F.pmod(F.xxhash64(key), F.lit(self.buckets)).cast("int")
+
     def upsert(self, df: DataFrame, table: str, keys: list[str]) -> None:
         """Iceberg-MERGE-equivalent: updates win over existing rows on key.
 
-        Implemented as existing.join(updates, keys, 'left_anti') UNION
-        updates. On Iceberg this is a metadata-level MERGE INTO; here the
-        table is rewritten, which is fine at test scale and keeps identical
-        call sites.
+        Legacy layout rewrites the whole table. Bucketed layout reads and
+        rewrites only the bucket dirs the updates hash into: the scan prunes
+        untouched ``__bucket=K/`` partitions and the write uses dynamic
+        partition overwrite, so per-batch IO is O(touched buckets).
         """
         spark = df.sparkSession
-        if not self.exists(table):
-            self.overwrite(df.dropDuplicates(keys), table)
+        if self.buckets is None:
+            if not self.exists(table):
+                self.overwrite(df.dropDuplicates(keys), table)
+                return
+            existing = self.read(spark, table)
+            kept = existing.join(df.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
+            merged = kept.unionByName(df.dropDuplicates(keys), allowMissingColumns=True)
+            self.overwrite(merged, table)
             return
-        existing = self.read(spark, table)
-        kept = existing.join(df.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
-        merged = kept.unionByName(df.dropDuplicates(keys), allowMissingColumns=True)
-        self.overwrite(merged, table)
+
+        updates = df.dropDuplicates(keys).withColumn(BUCKET_COL, self._bucket_expr(keys))
+        target = self.path(table)
+        if not target.exists():
+            tmp = target.with_name(target.name + ".__tmp__")
+            if tmp.exists():
+                shutil.rmtree(tmp)
+            updates.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(str(tmp))
+            tmp.rename(target)
+            return
+        # the touched-bucket list is a bounded scalar set (<= self.buckets),
+        # never data-sized
+        touched = sorted(r[0] for r in updates.select(BUCKET_COL).distinct().collect())
+        existing = (
+            spark.read.parquet(str(target)).filter(F.col(BUCKET_COL).isin(touched))
+        )
+        kept = existing.join(updates.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
+        merged = kept.unionByName(updates, allowMissingColumns=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(str(target))
+        )
 
     def drop(self, table: str) -> None:
         target = self.path(table)

@@ -343,3 +343,66 @@ def test_jsonl_webtext_source_round_trips(spark, tmp_path):
     docs_a = {r["doc_id"] for r in extract_documents(webtext, lang_filter="en").collect()}
     docs_b = {r["doc_id"] for r in extract_documents(back, lang_filter="en").collect()}
     assert docs_a == docs_b
+
+
+def test_bucketed_store_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """Hash-bucketed layout (the parquet analog of Iceberg MERGE): an
+    incremental upsert must leave untouched __bucket=K dirs byte-identical
+    on disk and rewrite a strict subset, while the merged table content is
+    exactly existing-with-updates-applied."""
+    import glob
+    import os
+
+    from sage_spark.store import TableStore
+
+    store = TableStore(tmp_path / "bstore", buckets=8)
+    base = spark.createDataFrame(
+        [(f"id{i}", f"v{i}") for i in range(200)], "k string, v string"
+    )
+    store.upsert(base, "t", ["k"])
+    root = tmp_path / "bstore" / "t"
+    buckets = sorted(p for p in os.listdir(root) if p.startswith("__bucket="))
+    assert len(buckets) == 8
+
+    def snapshot(b):
+        return sorted(
+            (os.path.basename(f), os.path.getmtime(f), os.path.getsize(f))
+            for f in glob.glob(f"{root}/{b}/*")
+        )
+
+    before = {b: snapshot(b) for b in buckets}
+    # update 3 existing keys + insert 1 new one
+    upd = spark.createDataFrame(
+        [("id1", "V1"), ("id2", "V2"), ("id3", "V3"), ("new1", "N1")], "k string, v string"
+    )
+    store.upsert(upd, "t", ["k"])
+    after = {b: snapshot(b) for b in buckets}
+    changed = {b for b in buckets if before[b] != after[b]}
+    assert changed, "some buckets must be rewritten"
+    assert changed < set(buckets), f"strict subset expected, got all {len(buckets)}"
+
+    got = {r["k"]: r["v"] for r in store.read(spark, "t").collect()}
+    assert len(got) == 201
+    assert got["id1"] == "V1" and got["id2"] == "V2" and got["id3"] == "V3"
+    assert got["new1"] == "N1" and got["id7"] == "v7"
+    assert "__bucket" not in store.read(spark, "t").columns
+
+    # idempotence: re-upserting the same batch is a content no-op
+    store.upsert(upd, "t", ["k"])
+    again = {r["k"]: r["v"] for r in store.read(spark, "t").collect()}
+    assert again == got
+
+
+def test_pipeline_resume_noop_with_bucketed_store(spark, tmp_path):
+    """The resume contract must hold on the bucketed layout: a second run
+    over the same corpus changes no counts and records zero conflicts."""
+    store = TableStore(tmp_path / "kgb", buckets=4)
+    persons = build_persons(10, SEED)
+    groups = build_groups()
+    webtext, _ = synth_webtext(spark, 60, n_persons=10, seed=SEED)
+    r1 = run_pipeline(spark, webtext, persons, groups, store, run_id="b1", run_ts="2026-04-02T00:00:00+00:00")
+    r2 = run_pipeline(spark, webtext, persons, groups, store, run_id="b2", run_ts="2026-04-03T00:00:00+00:00")
+    assert (r1.documents, r1.chunks, r1.claims, r1.facts_current) == (
+        r2.documents, r2.chunks, r2.claims, r2.facts_current
+    )
+    assert r2.conflicts == 0
