@@ -774,6 +774,63 @@ def q_corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(docs, "source", length_col="n_chars").orderBy("group_key")
 
 
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document count of distinct 8-gram
+    overlaps with an eval set (operators/decontam.py). The eval set derives
+    deterministically from the corpus itself — tokens 11-18 of every 37th
+    document — guaranteeing true positives at every SF."""
+    from sage_spark.operators.decontam import decontaminate
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+    bench = (
+        docs.filter(F.col("doc_id") % 37 == 0)
+        .select(F.array_join(F.slice(toks, 11, 8), " ").alias("text"))
+        .filter(F.length("text") > 0)
+    )
+    return decontaminate(docs, bench, n=8).orderBy("doc_id")
+
+
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.py): the
+    deterministic two-phase-cumsum layout of the corpus into 2048-token
+    packs; the oracle recomputes it with one global window."""
+    from sage_spark.operators.packing import pack_sequences
+    from sage_spark.operators.textstats import token_count
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "n_toks", token_count(F.col("text")).cast("long")
+    )
+    return pack_sequences(
+        docs, token_col="n_toks", id_col="doc_id", window=2048, n_shards=8
+    ).orderBy("doc_id")
+
+
+def q_web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered-domain extraction
+    (operators/urlops.py) over deterministically messy synthetic URLs —
+    mixed-case hosts, default ports, fragments, tracking params, unordered
+    query strings; the oracle states the expected canonical form per case."""
+    from sage_spark.operators.urlops import canonicalize_url, host_of, registered_domain
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 7).cast("string")
+    i = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("HTTPS://WWW.Example"), k, F.lit(".COM:443/p/"), i, F.lit("?utm_source=news&b=2&a=1#frag")))
+        .when(m == 1, F.concat(F.lit("http://Example"), k, F.lit(".com:80/")))
+        .when(m == 2, F.concat(F.lit("https://sub.example"), k, F.lit(".CO.UK/path/?gclid=1")))
+        .otherwise(F.concat(F.lit("http://example"), k, F.lit(".com/p?z=1&y=2&utm_campaign=x")))
+    )
+    canon = canonicalize_url(url)
+    return docs.select(
+        "doc_id",
+        canon.alias("canonical_url"),
+        registered_domain(host_of(canon)).alias("registered_domain"),
+    ).orderBy("doc_id")
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank over the entity mention graph (subject -> object of
     resolved claims), the iterative-algorithm path; oracled against a serial
@@ -963,6 +1020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_stats_by_source": q_corpus_stats_by_source,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
+        "web_url_canonicalize": q_web_url_canonicalize,
         # multimodal plumbing (rows-only; decode stubbed)
         "multimodal_image_features": q_multimodal_image_features,
     }
@@ -1310,6 +1370,65 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT identifier, 'chunk' AS kind, round(sim, 6) AS rank_score, identifier AS doc_id
             FROM merged ORDER BY sim DESC, identifier
+        """,
+        "corpus_decontaminate": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tt
+                FROM documents
+            ), bench AS (
+                SELECT DISTINCT array_to_string(tt[11:18], ' ') AS g
+                FROM toks WHERE doc_id % 37 = 0 AND len(tt) >= 18
+            ), doc_grams AS (
+                SELECT doc_id, array_to_string(tt[i.gs:i.gs+7], ' ') AS g
+                FROM toks, UNNEST(generate_series(1, greatest(len(tt) - 7, 0))) AS i(gs)
+            ), hits AS (
+                SELECT d.doc_id, count(DISTINCT d.g) AS n
+                FROM doc_grams d JOIN bench b USING (g)
+                GROUP BY d.doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_ngrams,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM (SELECT DISTINCT doc_id FROM documents) t
+            LEFT JOIN hits h ON t.doc_id = h.doc_id
+            ORDER BY t.doc_id
+        """,
+        "corpus_pack_sequences": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS tok,
+                       ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+                FROM documents
+            ), laid AS (
+                SELECT doc_id, tok,
+                       sum(tok) OVER (ORDER BY shard, doc_id ROWS UNBOUNDED PRECEDING) - tok AS goff
+                FROM base
+            )
+            SELECT doc_id, tok AS n_tokens, CAST(goff AS BIGINT) AS global_offset,
+                   CAST(goff // 2048 AS BIGINT) AS first_pack,
+                   CAST(CASE WHEN tok > 0 THEN (goff + tok - 1) // 2048
+                             ELSE goff // 2048 END AS BIGINT) AS last_pack,
+                   CAST(goff % 2048 AS BIGINT) AS offset_in_pack
+            FROM laid ORDER BY doc_id
+        """,
+        "web_url_canonicalize": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                       WHEN 0 THEN 'https://example' || k || '.com/p/' || i || '?a=1&b=2'
+                       WHEN 1 THEN 'http://example' || k || '.com/'
+                       WHEN 2 THEN 'https://sub.example' || k || '.co.uk/path/'
+                       ELSE 'http://example' || k || '.com/p?y=2&z=1'
+                   END AS canonical_url,
+                   CASE doc_id % 4
+                       WHEN 2 THEN 'example' || k || '.co.uk'
+                       ELSE 'example' || k || '.com'
+                   END AS registered_domain
+            FROM (
+                SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS k,
+                       CAST(doc_id AS VARCHAR) AS i
+                FROM documents
+            )
+            ORDER BY doc_id
         """,
         "retrieval_trace": _trace_oracle_sql("evidence"),
         "retrieval_trace_summary": _trace_oracle_sql("summary"),

@@ -527,3 +527,86 @@ def test_hypertable_rollup_reaggregates_exactly(spark):
     plan = hypertable_rollup(events, levels=("minute", "hour", "day"))._jdf.queryExecution().optimizedPlan().toString()
     raw_scans = [l for l in plan.splitlines() if "LogicalRDD" in l and "ts#" in l]
     assert raw_scans == []  # every scan in the plan reads the materialized bucket table, never raw events
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """A doc sharing an 8-gram with the benchmark is flagged with the right
+    distinct-gram count; short texts and non-overlapping docs are clean."""
+    from sage_spark.operators.decontam import decontaminate
+
+    eval_q = "what is the capital of france and why does it matter"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text " + eval_q + " trailing words"),   # contains the eval
+            (2, "completely unrelated content about spark plans and shuffles here"),
+            (3, "what is the capital"),                        # < 8 tokens: clean
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame([(eval_q,)], "text string")
+    got = {r["doc_id"]: r for r in decontaminate(docs, bench, n=8).collect()}
+    assert got[1]["contaminated"] and got[1]["n_contaminated_ngrams"] == 4  # 11-token eval -> 4 8-grams
+    for d in (2, 3, 4):
+        assert not got[d]["contaminated"] and got[d]["n_contaminated_ngrams"] == 0
+
+
+def test_pack_sequences_layout_invariants(spark):
+    """Offsets are a permutation-stable exact layout: contiguous global
+    offsets in (shard, id) order, pack ids consistent with window size, and
+    the result identical at different input partitionings."""
+    from sage_spark.operators.packing import pack_sequences
+
+    rows = [(i, (i * 37) % 500) for i in range(200)]
+    a = spark.createDataFrame(rows, "doc_id int, n_tok int").repartition(1)
+    b = spark.createDataFrame(rows, "doc_id int, n_tok int").repartition(13)
+    out_a = sorted(
+        (tuple(r) for r in pack_sequences(a, token_col="n_tok", window=256, n_shards=4).collect()),
+    )
+    out_b = sorted(
+        (tuple(r) for r in pack_sequences(b, token_col="n_tok", window=256, n_shards=4).collect()),
+    )
+    assert out_a == out_b  # partitioning-invariant
+
+    total = sum(n for _, n in rows)
+    # offsets tile the stream exactly: sorted offsets + sizes are contiguous
+    laid = sorted(out_a, key=lambda t: t[2])
+    cursor = 0
+    for doc_id, n_tokens, goff, first, last, inpack in laid:
+        assert goff == cursor
+        assert first == goff // 256 and inpack == goff % 256
+        expect_last = (goff + n_tokens - 1) // 256 if n_tokens > 0 else first
+        assert last == expect_last
+        cursor += n_tokens
+    assert cursor == total
+
+
+def test_url_canonicalize_rules(spark):
+    from sage_spark.operators.urlops import canonicalize_url, host_of, registered_domain
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/a/B?utm_source=x&b=2&a=1#frag", "https://example.com/a/B?a=1&b=2"),
+        ("http://Example.com:80/", "http://example.com/"),
+        ("https://sub.Shop.CO.UK/p/?gclid=1&fbclid=2", "https://sub.shop.co.uk/p/"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com:8080/x?z=1&y=2", "http://example.com:8080/x?y=2&z=1"),  # non-default port kept
+        ("https://example.com/?utm_campaign=a&utm_medium=b", "https://example.com/"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, url string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+    doms = [
+        ("https://sub.shop.co.uk/p", "shop.co.uk"),
+        ("http://example.com/", "example.com"),
+        ("http://a.b.c.example.com.au/", "example.com.au"),
+        ("http://localhost/", "localhost"),
+    ]
+    ddf = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(doms)], "i int, url string")
+    got_d = {
+        r["i"]: r["d"]
+        for r in ddf.select("i", registered_domain(host_of(F.col("url"))).alias("d")).collect()
+    }
+    for i, (_, want) in enumerate(doms):
+        assert got_d[i] == want, (i, got_d[i], want)
