@@ -831,6 +831,28 @@ def q_web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_web_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-level boilerplate removal (operators/boilerplate.py): two
+    footer lines are planted on every page of each source, and the
+    ≥90%-of-site rule must strip exactly them; the oracle replays the whole
+    rule generically in SQL (no hardcoded expectations)."""
+    from sage_spark.operators.boilerplate import strip_boilerplate
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit("\n(c) site "), F.col("source"), F.lit(" footer"),
+            F.lit("\nAll rights reserved"),
+        ).alias("text"),
+    )
+    out = strip_boilerplate(docs, group_col="source", min_docs=2, frac=0.9)
+    return out.select(
+        "doc_id", F.sha2(F.col("text_clean"), 256).alias("clean_sha"), "n_lines_removed"
+    ).orderBy("doc_id")
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank over the entity mention graph (subject -> object of
     resolved claims), the iterative-algorithm path; oracled against a serial
@@ -1023,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "web_url_canonicalize": q_web_url_canonicalize,
+        "web_strip_boilerplate": q_web_strip_boilerplate,
         # multimodal plumbing (rows-only; decode stubbed)
         "multimodal_image_features": q_multimodal_image_features,
     }
@@ -1429,6 +1452,42 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             ORDER BY doc_id
+        """,
+        "web_strip_boilerplate": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       text || chr(10) || '(c) site ' || source || ' footer'
+                            || chr(10) || 'All rights reserved' AS text
+                FROM documents
+            ), ls AS (
+                SELECT doc_id, source, string_split(text, chr(10)) AS parts FROM d
+            ), lines AS (
+                SELECT doc_id, source, t.gs AS seq, parts[t.gs] AS line
+                FROM ls, UNNEST(generate_series(1, len(parts))) AS t(gs)
+            ), sizes AS (
+                SELECT source, count(DISTINCT doc_id) AS nd FROM d GROUP BY source
+            ), stats AS (
+                SELECT source, trim(line) AS norm, count(DISTINCT doc_id) AS nw
+                FROM lines WHERE trim(line) <> '' GROUP BY 1, 2
+            ), boiler AS (
+                SELECT s.source, s.norm
+                FROM stats s JOIN sizes z USING (source)
+                WHERE z.nd >= 2 AND s.nw >= 0.9 * z.nd
+            ), kept AS (
+                SELECT l.doc_id, l.seq, l.line
+                FROM lines l LEFT JOIN boiler b
+                  ON l.source = b.source AND trim(l.line) = b.norm
+                WHERE b.norm IS NULL
+            ), rebuilt AS (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY seq) AS text_clean,
+                       count(*) AS nk
+                FROM kept GROUP BY doc_id
+            ), tot AS (
+                SELECT doc_id, count(*) AS nt FROM lines GROUP BY doc_id
+            )
+            SELECT t.doc_id, sha256(coalesce(r.text_clean, '')) AS clean_sha,
+                   CAST(t.nt - coalesce(r.nk, 0) AS BIGINT) AS n_lines_removed
+            FROM tot t LEFT JOIN rebuilt r USING (doc_id) ORDER BY t.doc_id
         """,
         "retrieval_trace": _trace_oracle_sql("evidence"),
         "retrieval_trace_summary": _trace_oracle_sql("summary"),

@@ -610,3 +610,28 @@ def test_url_canonicalize_rules(spark):
     }
     for i, (_, want) in enumerate(doms):
         assert got_d[i] == want, (i, got_d[i], want)
+
+
+def test_strip_boilerplate_site_rule(spark):
+    """Lines in >=50% of a site's docs are removed (matched trimmed, order
+    preserved); small groups below min_docs are untouched; a doc that is
+    all boilerplate cleans to empty."""
+    from sage_spark.operators.boilerplate import strip_boilerplate
+
+    foot = "(c) example corp"
+    docs = spark.createDataFrame(
+        [
+            (1, "a", f"unique one\n{foot}\nmore text"),
+            (2, "a", f"unique two\n  {foot}  \nother"),
+            (3, "a", "unique three no footer"),
+            (4, "a", foot),                      # all boilerplate -> empty
+            (5, "b", f"solo doc\n{foot}"),       # group size 1 < min_docs: kept
+        ],
+        "doc_id int, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_boilerplate(docs, group_col="source", min_docs=2, frac=0.5).collect()}
+    assert out[1]["text_clean"] == "unique one\nmore text" and out[1]["n_lines_removed"] == 1
+    assert out[2]["text_clean"] == "unique two\nother" and out[2]["n_lines_removed"] == 1
+    assert out[3]["text_clean"] == "unique three no footer" and out[3]["n_lines_removed"] == 0
+    assert out[4]["text_clean"] == "" and out[4]["n_lines_removed"] == 1
+    assert out[5]["text_clean"] == f"solo doc\n{foot}" and out[5]["n_lines_removed"] == 0
