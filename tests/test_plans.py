@@ -141,6 +141,14 @@ def test_pagerank_iterations_launch_no_collect_jobs(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-9  # mass conserved incl. dangling d
 
 
+def test_strip_boilerplate_single_explode(spark):
+    """The line explode feeds three consumers (stats, totals, rebuild); the
+    materialized line table must make the final plan Generate-free so the
+    corpus text is split exactly once."""
+    plan = _plan(spark, entrymod.queries()["web_strip_boilerplate"](spark, SF))
+    assert "Generate" not in plan, plan
+
+
 def test_exchange_reuse_in_minhash_self_join(spark):
     from pyspark.sql import functions as F
 
