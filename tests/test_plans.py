@@ -141,6 +141,24 @@ def test_pagerank_iterations_launch_no_collect_jobs(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-9  # mass conserved incl. dangling d
 
 
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The eval-gram set must broadcast (map-side join against the corpus
+    explode) — a shuffled benchmark side would move the whole corpus's
+    grams at 100 TB. No cartesian anywhere."""
+    plan = _plan(spark, entrymod.queries()["corpus_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_single_partition_only_for_shard_prefix(spark):
+    """The two-phase cumsum: per-shard windows parallelize; exactly ONE
+    single-partition exchange survives, and it carries the one-row-per-shard
+    prefix table, never the corpus."""
+    plan = _plan(spark, entrymod.queries()["corpus_pack_sequences"](spark, SF))
+    assert plan.count("SinglePartition") == 1
+    assert "CartesianProduct" not in plan
+
+
 def test_strip_boilerplate_single_explode(spark):
     """The line explode feeds three consumers (stats, totals, rebuild); the
     materialized line table must make the final plan Generate-free so the
