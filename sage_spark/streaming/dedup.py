@@ -1,0 +1,116 @@
+"""Streaming near-duplicate detection: MinHash-LSH over micro-batches.
+
+Batch LSH dedup (operators/dedup.py) sees the whole corpus at once; a
+crawl frontier arrives incrementally, and each new page must be checked
+against EVERYTHING seen so far without recomputing old signatures. The
+standard shape:
+
+* a persistent **bucket index** table (doc_id, band, bucket) in the
+  TableStore — the accumulated LSH state, keyed storage instead of
+  operator state so it survives restarts and is queryable;
+* per micro-batch (foreachBatch): compute the batch's banded buckets once,
+  flag a document as near-dup when it shares a (band, bucket) with any
+  prior-batch document OR an earlier document of the same batch (earlier =
+  smaller id, matching the batch pair rule id_a < id_b), then upsert the
+  batch's buckets and flags.
+
+Exactly-once: the bucket upsert is keyed on (doc_id, band) and the flag
+upsert on doc_id, so a replayed micro-batch is a no-op — the same
+idempotent-resume story as the KG pipeline. Ordering caveat: "earlier"
+means arrived in an earlier micro-batch (or smaller id within one batch),
+which is the only order a stream has.
+
+At crawl scale the per-batch check is a join of the BATCH's buckets
+(small) against the index on (band, bucket) — with the index stored
+bucket-partitioned (TableStore buckets) the scan prunes to the batch's
+buckets; no full-index shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..operators.dedup import banded_minhash_buckets
+from ..store import TableStore
+
+BUCKET_TABLE = "lsh_bucket_index"
+FLAG_TABLE = "near_dup_flags"
+
+_BUCKET_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("bucket", T.LongType(), False),
+    ]
+)
+
+
+def process_near_dup_batch(
+    batch: DataFrame,
+    store: TableStore,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> None:
+    """One micro-batch of the streaming near-dup check (also directly
+    usable for incremental batch ingestion)."""
+    spark = batch.sparkSession
+    ids = batch.select(F.col(id_col).cast("string").alias("doc_id")).distinct()
+    banded = banded_minhash_buckets(
+        batch.withColumn(id_col, F.col(id_col).cast("string")),
+        text_col,
+        id_col,
+        shingle_len=shingle_len,
+        num_hashes=num_hashes,
+        bands=bands,
+    ).select(F.col(id_col).alias("doc_id"), "band", "bucket")
+    banded = banded.localCheckpoint(eager=True)  # one signature pass per batch
+
+    index = store.read(spark, BUCKET_TABLE, _BUCKET_SCHEMA)
+    prior_hits = (
+        banded.join(index.withColumnRenamed("doc_id", "partner"), ["band", "bucket"])
+        .filter(F.col("partner") != F.col("doc_id"))
+        .select("doc_id", "partner")
+    )
+    intra_hits = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bucket"])
+        .filter(F.col("r.doc_id") < F.col("l.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_id"), F.col("r.doc_id").alias("partner"))
+    )
+    flags = (
+        ids.join(
+            prior_hits.unionByName(intra_hits)
+            .groupBy("doc_id")
+            .agg(F.min("partner").alias("near_dup_of")),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.col("near_dup_of"), F.col("near_dup_of").isNotNull().alias("is_near_dup"))
+    )
+    store.upsert(flags, FLAG_TABLE, ["doc_id"])
+    store.upsert(banded, BUCKET_TABLE, ["doc_id", "band"])
+
+
+def start_streaming_near_dedup(
+    stream: DataFrame,
+    store: TableStore,
+    *,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    **kwargs,
+):
+    """Wire the per-batch check into a Structured Streaming sink."""
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        process_near_dup_batch(batch_df, store, **kwargs)
+
+    writer = stream.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -200,3 +200,67 @@ def test_upload_sink_lifecycle_cleans_processed_files(spark, tmp_path):
             break
         time.sleep(1)
     assert len(glob.glob(f"{input_dir}/*.parquet")) < n_before
+
+
+def test_streaming_near_dedup_matches_batch(spark, tmp_path):
+    """Micro-batched MinHash-LSH near-dup flags must equal the batch
+    candidate rule applied in arrival order: a doc is flagged iff it shares
+    a band-bucket with an earlier doc (earlier batch, or smaller id within
+    one). With id-ordered arrival that is exactly the id_b side of the
+    batch candidate pairs. Replaying a batch is a no-op (idempotent keyed
+    upserts)."""
+    import glob
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from sage_spark.operators.dedup import minhash_lsh_candidates
+    from sage_spark.streaming.dedup import FLAG_TABLE, process_near_dup_batch, start_streaming_near_dedup
+
+    docs = [
+        (1, "The quick brown fox jumps over the lazy dog and runs into the forest."),
+        (2, "The quick brown fox jumps over the lazy dog and runs into the woods."),
+        (3, "the   QUICK brown fox jumps over the lazy dog and runs into the forest."),
+        (4, "Completely different content about database engines and query planners."),
+        (5, "Der Hund läuft nicht mit der Katze und das ist ein Problem für die Gruppe."),
+        (6, "Le chat est dans la maison et les enfants sont pour une fois dans le jardin."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    input_dir = str(tmp_path / "neardup_in")
+    df.filter("doc_id in (1, 2, 4)").coalesce(1).write.mode("append").parquet(input_dir)
+    _time.sleep(1.1)
+    df.filter("doc_id in (3, 5, 6)").coalesce(1).write.mode("append").parquet(input_dir)
+    assert len(glob.glob(f"{input_dir}/*.parquet")) == 2
+
+    store = TableStore(tmp_path / "neardup_store")
+    stream = (
+        spark.readStream.schema("doc_id int, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = start_streaming_near_dedup(
+        stream, store, checkpoint_dir=str(tmp_path / "neardup_ckpt"), available_now=True,
+        bands=16, num_hashes=64,
+    )
+    q.awaitTermination(300)
+
+    flags = {r["doc_id"]: r for r in store.read(spark, FLAG_TABLE).collect()}
+    assert set(flags) == {"1", "2", "3", "4", "5", "6"}
+
+    batch_pairs = minhash_lsh_candidates(
+        df.withColumn("doc_id", F.col("doc_id").cast("string")), bands=16, num_hashes=64
+    ).collect()
+    expected_flagged = {r["id_b"] for r in batch_pairs}
+    assert expected_flagged  # sanity: the corpus does contain near-dups
+    assert {d for d, r in flags.items() if r["is_near_dup"]} == expected_flagged
+    # the reported partner is an earlier doc from the pair set
+    for d, r in flags.items():
+        if r["is_near_dup"]:
+            assert (r["near_dup_of"], d) in {(p["id_a"], p["id_b"]) for p in batch_pairs}
+
+    # idempotence: replaying the last micro-batch changes nothing
+    before = sorted(map(tuple, store.read(spark, FLAG_TABLE).collect()))
+    process_near_dup_batch(df.filter("doc_id in (3, 5, 6)"), store, bands=16, num_hashes=64)
+    after = sorted(map(tuple, store.read(spark, FLAG_TABLE).collect()))
+    assert after == before
