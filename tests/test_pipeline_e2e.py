@@ -406,3 +406,36 @@ def test_pipeline_resume_noop_with_bucketed_store(spark, tmp_path):
         r2.documents, r2.chunks, r2.claims, r2.facts_current
     )
     assert r2.conflicts == 0
+
+
+def test_dataprep_job_end_to_end(spark, tmp_path):
+    """jobs/run_dataprep.py stage chain over the driver documents table:
+    monotone survivor counts, pack manifest consistent with total tokens,
+    and cleaned corpus free of exact duplicates."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "prep"
+    proc = subprocess.run(
+        [
+            sys.executable, "jobs/run_dataprep.py",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(out),
+        ],
+        capture_output=True, text=True, timeout=500, check=True, cwd="/root/repo",
+    )
+    summary = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    assert summary["input"] >= summary["language"] >= summary["quality"] >= summary["exact_dedup"] >= summary["near_dedup"]
+    assert summary["documents_out"] > 0 and summary["total_tokens"] > 0
+
+    corpus = spark.read.parquet(str(out / "corpus"))
+    packs = spark.read.parquet(str(out / "packs"))
+    assert corpus.count() == summary["documents_out"] == packs.count()
+    # no exact dups survive
+    n_distinct = corpus.select(F.sha2(F.lower(F.regexp_replace("text", r"\s+", " ")), 256)).distinct().count()
+    assert n_distinct == summary["documents_out"]
+    # pack manifest tiles the token stream
+    got_total = packs.agg(F.sum("n_tokens")).collect()[0][0]
+    assert got_total == summary["total_tokens"]
+    assert packs.agg(F.max("last_pack")).collect()[0][0] == summary["n_packs"] - 1
