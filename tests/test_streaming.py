@@ -233,7 +233,8 @@ def test_streaming_near_dedup_matches_batch(spark, tmp_path):
     df.filter("doc_id in (3, 5, 6)").coalesce(1).write.mode("append").parquet(input_dir)
     assert len(glob.glob(f"{input_dir}/*.parquet")) == 2
 
-    store = TableStore(tmp_path / "neardup_store")
+    # bucketed layout: the index upsert rewrites only touched bucket dirs
+    store = TableStore(tmp_path / "neardup_store", buckets=4)
     stream = (
         spark.readStream.schema("doc_id int, text string")
         .option("maxFilesPerTrigger", 1)
