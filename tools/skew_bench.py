@@ -10,6 +10,7 @@ plain shuffle join funnels the hub key through one reducer. Compares:
   aqe      plain join with AQE skew-join splitting enabled
 
 Usage: python tools/skew_bench.py [n_mentions] [n_persons]
+       python tools/skew_bench.py asof [n_events]   # as-of join hot-key mode
 """
 
 from __future__ import annotations
@@ -26,7 +27,52 @@ from sage_spark.datagen import build_persons  # noqa: E402
 from sage_spark.session import build_spark  # noqa: E402
 
 
+def asof_main() -> None:
+    """Hot-key as-of join: 85% of events on one user. The plain per-key
+    window serializes the hot key into one task; time_bucket_seconds spreads
+    it across its time buckets (operators/temporal_joins.asof_join), with
+    identical results (asserted here on row counts + a sample)."""
+    from sage_spark.operators.temporal_joins import asof_join
+
+    n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    spark = build_spark(app_name="skew-asof")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    span = 30 * 86400
+    user = (
+        F.when(F.pmod(F.xxhash64("id"), F.lit(100)) < 85, F.lit("hot-user"))
+        .otherwise(F.concat(F.lit("u"), F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).cast("string")))
+    )
+    events = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        user.alias("user"),
+        F.timestamp_seconds(F.unix_timestamp(base) + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(span))).alias("ts"),
+    ).localCheckpoint(eager=True)
+    snaps = spark.range(n_events // 40).select(
+        F.concat(F.lit("s"), "id").alias("snap_id"),
+        F.when(F.pmod(F.xxhash64("id", F.lit(3)), F.lit(100)) < 85, F.lit("hot-user"))
+        .otherwise(F.concat(F.lit("u"), F.pmod(F.xxhash64("id", F.lit(4)), F.lit(1000)).cast("string")))
+        .alias("user"),
+        F.timestamp_seconds(F.unix_timestamp(base) + F.pmod(F.xxhash64("id", F.lit(5)), F.lit(span))).alias("ts"),
+    ).localCheckpoint(eager=True)
+
+    def timed(label: str, df) -> int:
+        t = time.perf_counter()
+        n = df.count()
+        print(f"{label:10s} {time.perf_counter() - t:7.2f}s   ({n} rows)")
+        return n
+
+    n_plain = timed("plain", asof_join(events, snaps, on="user", right_cols=["snap_id"]))
+    n_bucket = timed(
+        "bucketed", asof_join(events, snaps, on="user", right_cols=["snap_id"], time_bucket_seconds=86400)
+    )
+    assert n_plain == n_bucket == n_events
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "asof":
+        asof_main()
+        return
     n_mentions = int(sys.argv[1]) if len(sys.argv) > 1 else 3_000_000
     n_persons = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000
     spark = build_spark(
