@@ -69,7 +69,7 @@ def run_scaling_evidence() -> dict | None:
     themselves). Configurable via
     SAGE_BENCH_SCALING_SPEC="1:100000:3,4:100000:2" (n_low:docs:max_attempts
     per pair); retries stop early at SAGE_BENCH_SCALING_TARGET (0.8) or
-    when SAGE_BENCH_SCALING_BUDGET seconds (1200) are spent — the host's
+    when SAGE_BENCH_SCALING_BUDGET seconds (900) are spent — the host's
     delivered-CPU windows vary so much that a single-shot pair measures the
     window, not the engine."""
     sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
@@ -77,7 +77,7 @@ def run_scaling_evidence() -> dict | None:
 
     spec = os.environ.get("SAGE_BENCH_SCALING_SPEC", "1:100000:3,4:100000:2")
     target = float(os.environ.get("SAGE_BENCH_SCALING_TARGET", "0.8"))
-    budget = float(os.environ.get("SAGE_BENCH_SCALING_BUDGET", "1200"))
+    budget = float(os.environ.get("SAGE_BENCH_SCALING_BUDGET", "900"))
     t_start = time.perf_counter()
     try:
         pairs = []
@@ -264,6 +264,14 @@ def main() -> None:
         "aggregation": "min",
     }
     spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    real_stdout = os.fdopen(real_stdout_fd, "w")
+    # crash safety: the driver parses the LAST stdout line as JSON. Emit the
+    # headline result immediately; if the scaling block below survives to
+    # completion, emit the enriched JSON as a newer last line.
+    real_stdout.write(json.dumps(out) + "\n")
+    real_stdout.flush()
     # scaling evidence needs the whole machine: run after the session stops
     if os.environ.get("SAGE_BENCH_SCALING", "1") != "0":
         scaling = run_scaling_evidence()
@@ -272,11 +280,9 @@ def main() -> None:
             out["scaling_efficiency"] = scaling["best_pair_efficiency"]
             out["scaling_efficiency_vs_ceiling"] = scaling["efficiency_vs_ceiling"]
             out["docs_per_sec_amortized"] = scaling["amortized_docs_per_sec_high"]
-    sys.stdout.flush()
-    sys.stderr.flush()
-    with os.fdopen(real_stdout_fd, "w") as real_stdout:
         real_stdout.write(json.dumps(out) + "\n")
         real_stdout.flush()
+    real_stdout.close()
 
 
 if __name__ == "__main__":
