@@ -593,7 +593,12 @@ def _trace_oracle_sql(which: str) -> str:
                 FROM all_rows
             )"""
     if which == "evidence":
-        return body + "\n            SELECT * FROM ranked ORDER BY rank"
+        # the driver's hasher can't factorize list cells, so the contract
+        # serializes the array deterministically; the operator API keeps it
+        return body + (
+            "\n            SELECT * REPLACE (array_to_string(matched_entities, '|')"
+            " AS matched_entities) FROM ranked ORDER BY rank"
+        )
     return body + """
             SELECT CAST(count(*) AS BIGINT) AS result_count,
                    CAST(max(hop_count) AS BIGINT) AS max_hop_count,
@@ -657,10 +662,13 @@ def q_retrieval_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sage_spark.operators.retrieval import trace_evidence
 
     chunks, documents, facts, edges = _trace_inputs(spark, sf_dir)
-    return trace_evidence(
+    ev = trace_evidence(
         chunks, documents, facts, _PS_QUERY,
         user_id="u1", edges=edges, now=datetime(2026, 1, 1, tzinfo=timezone.utc), k=10,
     )
+    # contract hasher can't factorize array cells (round-3 red) — serialize;
+    # the trace_evidence operator itself keeps the array form for API users
+    return ev.withColumn("matched_entities", F.array_join("matched_entities", "|"))
 
 
 def q_retrieval_trace_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -946,6 +954,77 @@ def q_chat_message_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc.select("message_id", "conversation_id").orderBy("message_id")
 
 
+def q_chat_unread_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAS_READ edges + per-conversation unread tally for the hub user
+    (chat_store.py:589-609 read marking, 1039-1046 unread count): senders
+    always self-read; recipients read the sha-marked message subset (a
+    deterministic, engine-portable rule — kernel/expected.read_subset_marker)."""
+    from sage_spark.operators.chat import (
+        messages_from_webtext,
+        participations,
+        read_edges,
+        unread_counts,
+    )
+
+    webtext, _ = synth_webtext(spark, SYNTH_DOCS, n_persons=SYNTH_PERSONS, seed=SEED)
+    msgs = messages_from_webtext(webtext)
+    parts = participations(msgs)
+    marked = msgs.filter(
+        F.substring(F.sha2(F.col("message_id"), 256), 1, 1).isin(*"01234567")
+    )
+    reads = (
+        read_edges(msgs)
+        .unionByName(read_edges(marked, parts=parts, mark_recipient_read=True))
+        .dropDuplicates(["person_id", "message_id"])
+    )
+    out = unread_counts(msgs, parts, reads, "EMP001")
+    return out.orderBy("conversation_id")
+
+
+def q_kg_insight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The insight surface (saia.py:1278-1460): per-claim evidence rows with
+    fact links, supersedence predecessors, and display decoration — the
+    message->docs->claims->facts walk as one distributed join pipeline and
+    the saia.py:1998-2084 display rewrite as broadcast lookups + one CASE
+    template column. Oracled against a serial nested-loop replay
+    (kernel/expected.expected_insight) over the same synthetic KG."""
+    from sage_spark.kernel.entities import EntityCatalog
+    from sage_spark.operators.canonicalize import split_edges
+    from sage_spark.operators.insight import (
+        message_insight,
+        with_display_labels,
+        with_display_text,
+    )
+
+    claims = _synth_claims(spark)
+    union = canonicalize_claims(claims, None, seen_at=RUN_TS).localCheckpoint(eager=True)
+    facts = split_facts(union)
+    edges = split_edges(union)
+    documents = claims.select("doc_id").distinct().select(
+        "doc_id",
+        F.concat(F.lit("m-"), F.col("doc_id")).alias("origin_message_id"),
+        F.lit(RUN_TS).alias("timestamp"),
+    )
+    persons = build_persons(SYNTH_PERSONS, SEED)
+    groups = build_groups()
+    catalog = EntityCatalog(persons, groups)
+    name_ids = [p["id"] for p in persons] + [g["id"] for g in groups]
+    names = spark.createDataFrame(
+        [(i, catalog.display_name(i)) for i in name_ids],
+        "entity_id string, display_name string",
+    )
+    # decorate BEFORE the walk: claim_id is not unique across near-duplicate
+    # extractions, so a by-claim_id join-back would cross-product those rows
+    decorated = with_display_text(with_display_labels(claims, names))
+    out = message_insight(documents, decorated, edges, facts)
+    return out.select(
+        "message_id", "source_doc_id", "claim_id", "claim_type", "relation_type",
+        "fact_id", "canonical_key", "fact_status",
+        F.col("support_count").cast("long").alias("support_count"),
+        "previous_fact_id", "subject_display", "object_display", "display_text",
+    ).orderBy("claim_id", "fact_id", "previous_fact_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple construction. Loads the sf0.001 tables (driver
     contract), derives a webtext batch from the documents table, runs the
@@ -981,8 +1060,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EXACTLY 50 entries — the driver's check window (it verifies the first
+    50 registry rows; round 3 shipped 56 and the tail went unchecked).
+    Never-yet-driver-green and new queries lead; 8 redundant always-green
+    rows were retired to make room (their q_ functions and operators remain,
+    with UT/PL coverage): dedup_exact_groups (twin of dedup_exact_keep),
+    agg_rollup_events (twin of agg_hypertable_rollup), chat_participations,
+    semi_suppliers_with_recent_shipments, corpus_sample (subsumed by
+    stratified), text_quality_filter (quality + a predicate), and the
+    rows-only sim_lsh_topk / sim_ivf_topk (their oracled *_recall twins
+    stay)."""
     return {
-        # KG pipeline (rows-only: regex cascade is not ANSI-SQL-expressible)
+        # --- never-yet-green in a CORRECTNESS file + round-4 new ---------
+        "corpus_stats_by_source": q_corpus_stats_by_source,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
+        "web_url_canonicalize": q_web_url_canonicalize,
+        "web_strip_boilerplate": q_web_strip_boilerplate,
+        "multimodal_image_features": q_multimodal_image_features,
+        "retrieval_trace": q_retrieval_trace,
+        "kg_insight": q_kg_insight,
+        "chat_unread_counts": q_chat_unread_counts,
+        # --- KG pipeline (serial-replay oracled) -------------------------
         "kg_claims": q_kg_claims,
         "kg_triples": q_kg_triples,
         "kg_facts_current": q_kg_facts_current,
@@ -990,12 +1089,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_components": q_kg_entity_components,
         "graph_pagerank": q_graph_pagerank,
         "kg_facts_with_evidence": q_kg_facts_with_evidence,
-        # relational operators (DuckDB-oracled)
+        # --- relational operators (DuckDB-oracled) -----------------------
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "join_top_brands_by_revenue": q_join_top_brands_by_revenue,
         "anti_customers_without_orders": q_anti_customers_without_orders,
-        "semi_suppliers_with_recent_shipments": q_semi_suppliers_with_recent_shipments,
         "window_top_order_per_customer": q_window_top_order_per_customer,
         "window_degree_top_users": q_window_degree_top_users,
         "agg_event_type_daily": q_agg_event_type_daily,
@@ -1005,49 +1103,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof_last_signup": q_join_asof_last_signup,
         "join_range_after_purchase": q_join_range_after_purchase,
         "agg_hypertable_rollup": q_agg_hypertable_rollup,
-        "agg_rollup_events": q_agg_rollup_events,
         "events_sessionize": q_events_sessionize,
-        # text analysis (DuckDB-oracled)
+        # --- text analysis (DuckDB-oracled) ------------------------------
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
-        "text_quality_filter": q_text_quality_filter,
         "text_pii_redacted": q_text_pii_redacted,
         "text_repetition_stats": q_text_repetition_stats,
         "text_unigram_logprob": q_text_unigram_logprob,
-        # dedup (exact ones oracled; hash-family ones rows-only)
-        "dedup_exact_groups": q_dedup_exact_groups,
+        # --- dedup -------------------------------------------------------
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_embedding_near": q_dedup_embedding_near,
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
-        # similarity search (exact top-k oracled; ANN raw top-k rows-only,
-        # ANN recall-vs-exact oracled)
+        # --- similarity search -------------------------------------------
         "sim_cosine_topk": q_sim_cosine_topk,
-        "sim_lsh_topk": q_sim_lsh_topk,
-        "sim_ivf_topk": q_sim_ivf_topk,
         "sim_lsh_recall": q_sim_lsh_recall,
         "sim_ivf_recall": q_sim_ivf_recall,
-        # retrieval read path (person-scoped J2/R2, DuckDB-oracled)
+        # --- retrieval read path -----------------------------------------
         "retrieval_person_scoped": q_retrieval_person_scoped,
-        "retrieval_trace": q_retrieval_trace,
         "retrieval_trace_summary": q_retrieval_trace_summary,
-        # chat/conversation graph (J9 + conversation dim, oracled)
+        # --- chat/conversation graph -------------------------------------
         "chat_conversations": q_chat_conversations,
         "chat_message_access": q_chat_message_access,
-        "chat_participations": q_chat_participations,
-        # corpus management (deterministic sampling + profile, oracled)
-        "corpus_sample": q_corpus_sample,
+        # --- corpus management -------------------------------------------
         "corpus_stratified_sample": q_corpus_stratified_sample,
-        "corpus_stats_by_source": q_corpus_stats_by_source,
-        "corpus_decontaminate": q_corpus_decontaminate,
-        "corpus_pack_sequences": q_corpus_pack_sequences,
-        "web_url_canonicalize": q_web_url_canonicalize,
-        "web_strip_boilerplate": q_web_strip_boilerplate,
-        # multimodal plumbing (rows-only; decode stubbed)
-        "multimodal_image_features": q_multimodal_image_features,
     }
 
 
@@ -1119,6 +1201,8 @@ def _expected_kg_dir() -> str:
         expected_documents,
         expected_facts_and_edges,
         expected_facts_with_evidence,
+        expected_insight,
+        expected_unread_counts,
     )
 
     docs = expected_documents(SYNTH_DOCS, SYNTH_PERSONS, SEED)
@@ -1183,6 +1267,28 @@ def _expected_kg_dir() -> str:
     user_convs = {p["conversation_id"] for p in parts if p["person_id"] == "EMP001"}
     access = [m for m in messages if m["conversation_id"] in user_convs]
     dump(access, ["message_id", "conversation_id"], "chat_access_emp001")
+    unread = expected_unread_counts(messages, parts, "EMP001")
+    dump(unread, ["conversation_id", "unread_count"], "chat_unread_emp001")
+    from sage_spark.kernel.entities import EntityCatalog as _Cat
+
+    _persons, _groups = build_persons(SYNTH_PERSONS, SEED), build_groups()
+    _catalog = _Cat(_persons, _groups)
+    display_names = {
+        i: _catalog.display_name(i)
+        for i in [p["id"] for p in _persons] + [g["id"] for g in _groups]
+    }
+    ins_docs = [
+        {"doc_id": d, "origin_message_id": f"m-{d}"}
+        for d in sorted({c["doc_id"] for c in claims})
+    ]
+    insight = expected_insight(ins_docs, claims, facts, edges, display_names)
+    dump(
+        insight,
+        ["message_id", "source_doc_id", "claim_id", "claim_type", "relation_type",
+         "fact_id", "canonical_key", "fact_status", "support_count",
+         "previous_fact_id", "subject_display", "object_display", "display_text"],
+        "insight",
+    )
     (stage / "_DONE").touch()
     try:
         _os.rename(stage, out)
@@ -1349,6 +1455,17 @@ def oracle_sql() -> dict[str, str]:
         "chat_message_access": f"""
             SELECT message_id, conversation_id
             FROM '{kg}/chat_access_emp001.parquet' ORDER BY message_id
+        """,
+        "chat_unread_counts": f"""
+            SELECT conversation_id, CAST(unread_count AS BIGINT) AS unread_count
+            FROM '{kg}/chat_unread_emp001.parquet' ORDER BY conversation_id
+        """,
+        "kg_insight": f"""
+            SELECT message_id, source_doc_id, claim_id, claim_type, relation_type,
+                   fact_id, canonical_key, fact_status,
+                   CAST(support_count AS BIGINT) AS support_count,
+                   previous_fact_id, subject_display, object_display, display_text
+            FROM '{kg}/insight.parquet' ORDER BY claim_id, fact_id, previous_fact_id
         """,
         "graph_pagerank": f"SELECT v, rank FROM '{kg}/pagerank.parquet' ORDER BY v",
         "chat_participations": f"""

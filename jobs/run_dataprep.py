@@ -11,6 +11,7 @@ operators:
     4 pii           email/phone/ip redaction           (operators/textstats.py)
     5 exact dedup   min-id representative per hash     (operators/dedup.py)
     6 near dedup    MinHash-LSH candidate drop         (operators/dedup.py)
+                    (+ optional exact-Jaccard verify, --verify-jaccard T)
     7 decontam      benchmark n-gram overlap drop      (operators/decontam.py)  [optional]
     8 pack          concat-and-chunk window layout     (operators/packing.py)
 
@@ -44,7 +45,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from sage_spark.operators.boilerplate import strip_boilerplate  # noqa: E402
 from sage_spark.operators.decontam import decontaminate  # noqa: E402
-from sage_spark.operators.dedup import exact_dedup, minhash_lsh_candidates  # noqa: E402
+from sage_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+)
 from sage_spark.operators.packing import pack_sequences  # noqa: E402
 from sage_spark.operators.textstats import (  # noqa: E402
     quality_filter,
@@ -71,6 +76,11 @@ def main() -> None:
     # at ~0.5 and eat template-heavy sites)
     ap.add_argument("--lsh-bands", type=int, default=8)
     ap.add_argument("--lsh-hashes", type=int, default=64)
+    ap.add_argument(
+        "--verify-jaccard", type=float, default=None, metavar="T",
+        help="verify LSH candidates with exact shingle Jaccard and drop only "
+             "pairs >= T (one extra candidate-sized join; cuts LSH false-positive drops)",
+    )
     args = ap.parse_args()
 
     spark = build_spark(app_name="sage-dataprep")
@@ -82,6 +92,9 @@ def main() -> None:
     cleaned = strip_boilerplate(docs, group_col=args.group_col).join(
         docs.drop("text"), "doc_id"
     ).withColumnRenamed("text_clean", "text")
+    # pin the boilerplate join once: every stage count below is an action,
+    # and without this each would recompute the (site, line) stats scan
+    cleaned = cleaned.localCheckpoint(eager=True)
     if args.lang:
         cleaned = with_language_id(cleaned).filter(F.col("lang_pred") == args.lang)
         counts["language"] = cleaned.count()
@@ -92,10 +105,20 @@ def main() -> None:
     counts["exact_dedup"] = kept.count()
 
     if not args.skip_near_dedup:
+        sided = kept.withColumn("__sid", F.col("doc_id").cast("string"))
         pairs = minhash_lsh_candidates(
-            kept.withColumn("__sid", F.col("doc_id").cast("string")), "text", "__sid",
+            sided, "text", "__sid",
             bands=args.lsh_bands, num_hashes=args.lsh_hashes,
         )
+        if args.verify_jaccard is not None:
+            # exact-verify stage: only candidate pairs whose true shingle
+            # Jaccard clears the threshold get dropped (candidate-driven
+            # join — never all-pairs)
+            pairs = ngram_jaccard_pairs(
+                sided, "text", "__sid",
+                threshold=args.verify_jaccard,
+                candidates=pairs.select("id_a", "id_b"),
+            )
         # keep id_a (the smaller id of each candidate pair), drop id_b
         drop = pairs.select(F.col("id_b").alias("__sid")).distinct()
         kept = (

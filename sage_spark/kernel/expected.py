@@ -141,6 +141,101 @@ def expected_facts_and_edges(
     return facts, edges
 
 
+def expected_insight(
+    documents: list[dict[str, Any]],
+    claims: list[dict[str, Any]],
+    facts: list[dict[str, Any]],
+    edges: list[dict[str, Any]],
+    display_names: dict[str, str],
+) -> list[dict[str, Any]]:
+    """Serial replay of the message-insight assembly (saia.py:1296-1410 +
+    display decoration 1998-2084): nested loops over the evidence-link
+    rules, claim/fact/replacement chains, and the kernel display renderer —
+    an independent algorithm from operators/insight.py's join pipeline."""
+    from .insight import display_label_from_fields, render_record_display_text
+
+    claims_by_doc: dict[str, list[dict[str, Any]]] = {}
+    for claim in claims:
+        claims_by_doc.setdefault(claim["doc_id"], []).append(claim)
+    edges_by_claim: dict[str, list[dict[str, Any]]] = {}
+    for edge in edges:
+        edges_by_claim.setdefault(edge["claim_id"], []).append(edge)
+    fact_by_id = {f["fact_id"]: f for f in facts}
+    prev_by_replacement: dict[str, list[dict[str, Any]]] = {}
+    for f in facts:
+        if f.get("superseded_by_fact_id"):
+            prev_by_replacement.setdefault(f["superseded_by_fact_id"], []).append(f)
+
+    out: list[dict[str, Any]] = []
+    for doc in documents:
+        mids: list[str] = []
+        did = doc["doc_id"]
+        if did.startswith("chat-msg-"):
+            mids.append(did[len("chat-msg-"):])
+        for link in ("origin_message_id", "linked_message_id"):
+            mid = doc.get(link)
+            if mid and mid not in mids:
+                mids.append(mid)
+        for mid in mids:
+            for claim in claims_by_doc.get(did, []):
+                subject_display = display_label_from_fields(
+                    entity_id=claim.get("subject_entity_id"),
+                    key=claim.get("subject_key"),
+                    raw=claim.get("subject_raw"),
+                    display_names=display_names,
+                )
+                object_display = display_label_from_fields(
+                    entity_id=claim.get("object_entity_id"),
+                    key=claim.get("object_key"),
+                    raw=claim.get("object_raw"),
+                    display_names=display_names,
+                )
+                display_text = render_record_display_text(claim, display_names)
+                base = {
+                    "message_id": mid,
+                    "source_doc_id": did,
+                    "claim_id": claim["claim_id"],
+                    "claim_type": claim["claim_type"],
+                    "subject_display": subject_display,
+                    "object_display": object_display,
+                    "display_text": display_text,
+                }
+                claim_edges = edges_by_claim.get(claim["claim_id"], [])
+                if not claim_edges:
+                    out.append(
+                        {
+                            **base,
+                            "relation_type": None,
+                            "fact_id": None,
+                            "canonical_key": None,
+                            "fact_status": None,
+                            "support_count": None,
+                            "previous_fact_id": None,
+                        }
+                    )
+                    continue
+                for edge in claim_edges:
+                    fact = fact_by_id.get(edge["fact_id"], {})
+                    prevs: list[dict[str, Any] | None] = [None]
+                    if edge["relation_type"] == "SUPPORTS":
+                        linked = prev_by_replacement.get(edge["fact_id"])
+                        if linked:
+                            prevs = list(linked)
+                    for prev in prevs:
+                        out.append(
+                            {
+                                **base,
+                                "relation_type": edge["relation_type"],
+                                "fact_id": edge["fact_id"],
+                                "canonical_key": fact.get("canonical_key"),
+                                "fact_status": fact.get("status"),
+                                "support_count": fact.get("support_count"),
+                                "previous_fact_id": prev.get("fact_id") if prev else None,
+                            }
+                        )
+    return out
+
+
 def expected_chat(
     n_docs: int, n_persons: int, seed: int, *, n_groups: int = 8
 ) -> tuple[list[dict[str, Any]], list[dict[str, Any]], list[dict[str, Any]]]:
@@ -208,6 +303,48 @@ def expected_chat(
                 parts.add((person, conv))
     participation_rows = [{"person_id": p, "conversation_id": c} for p, c in sorted(parts)]
     return messages, sorted(convs.values(), key=lambda c: c["conversation_id"]), participation_rows
+
+
+def read_subset_marker(message_id: str) -> bool:
+    """Deterministic, engine-portable rule for which messages get recipient
+    HAS_READ edges in the graded scenario: first sha256 hex digit < '8'
+    (reproducible in Spark as substring(sha2(id,256),1,1) and in any serial
+    replay — no xxhash dependence, per the oracle-typing protocol)."""
+    import hashlib
+
+    return hashlib.sha256(message_id.encode()).hexdigest()[0] in "01234567"
+
+
+def expected_unread_counts(
+    messages: list[dict[str, Any]],
+    participation_rows: list[dict[str, Any]],
+    user_id: str,
+) -> list[dict[str, Any]]:
+    """Serial replay of read_edges(mark_recipient_read for marker messages)
+    + unread_counts (operators/chat.py; reference chat_store.py:589-609,
+    1039-1046): nested loops, independent of the join pipeline."""
+    parts_by_conv: dict[str, set[str]] = {}
+    for p in participation_rows:
+        parts_by_conv.setdefault(p["conversation_id"], set()).add(p["person_id"])
+    reads: set[tuple[str, str]] = set()
+    for m in messages:
+        reads.add((m["sender_id"], m["message_id"]))
+        if read_subset_marker(m["message_id"]):
+            for person in parts_by_conv.get(m["conversation_id"], set()):
+                if person != m["sender_id"]:
+                    reads.add((person, m["message_id"]))
+    user_convs = sorted(
+        {p["conversation_id"] for p in participation_rows if p["person_id"] == user_id}
+    )
+    counts = {c: 0 for c in user_convs}
+    for m in messages:
+        if (
+            m["conversation_id"] in counts
+            and m["sender_id"] != user_id
+            and (user_id, m["message_id"]) not in reads
+        ):
+            counts[m["conversation_id"]] += 1
+    return [{"conversation_id": c, "unread_count": counts[c]} for c in user_convs]
 
 
 def expected_simhash(docs: list[tuple[Any, str]]) -> list[dict[str, Any]]:

@@ -104,6 +104,59 @@ def participations(messages: DataFrame) -> DataFrame:
     return direct_edges.unionByName(group_edges).dropDuplicates(["person_id", "conversation_id"])
 
 
+def read_edges(
+    messages: DataFrame,
+    *,
+    parts: DataFrame | None = None,
+    mark_recipient_read: bool = False,
+) -> DataFrame:
+    """HAS_READ edges (person_id, message_id, read_at) — chat_store.py:589-609:
+    the sender always reads their own message at sent_at; with
+    ``mark_recipient_read`` every other participant of the message's
+    conversation gets an edge too (the reference's member loop, batched as
+    one join against PARTICIPATES_IN)."""
+    sender_reads = messages.select(
+        F.col("sender_id").alias("person_id"),
+        "message_id",
+        F.col("sent_at").alias("read_at"),
+    )
+    if not mark_recipient_read:
+        return sender_reads.dropDuplicates(["person_id", "message_id"])
+    if parts is None:
+        raise ValueError("mark_recipient_read requires the participations edges")
+    member_reads = (
+        messages.select("message_id", "conversation_id", "sender_id", F.col("sent_at").alias("read_at"))
+        .join(parts, "conversation_id")
+        .filter(F.col("person_id") != F.col("sender_id"))
+        .select("person_id", "message_id", "read_at")
+    )
+    return sender_reads.unionByName(member_reads).dropDuplicates(["person_id", "message_id"])
+
+
+def unread_counts(
+    messages: DataFrame, parts: DataFrame, reads: DataFrame, user_id: str
+) -> DataFrame:
+    """Per-conversation unread tally for one user (chat_store.py:1039-1046):
+    messages in the user's conversations, sent by others, with no HAS_READ
+    edge from the user; conversations with nothing unread report 0 (the
+    reference's OPTIONAL MATCH). The user's conversation set and read set
+    are user-sized — both broadcast; the message log never shuffles."""
+    user_convs = parts.filter(F.col("person_id") == user_id).select("conversation_id").distinct()
+    user_reads = reads.filter(F.col("person_id") == user_id).select("message_id")
+    unread = (
+        messages.join(F.broadcast(user_convs), "conversation_id", "left_semi")
+        .filter(F.col("sender_id") != user_id)
+        .join(F.broadcast(user_reads), "message_id", "left_anti")
+    )
+    counts = unread.groupBy("conversation_id").agg(
+        F.count_distinct("message_id").alias("unread_count")
+    )
+    return user_convs.join(counts, "conversation_id", "left").select(
+        "conversation_id",
+        F.coalesce(F.col("unread_count"), F.lit(0)).cast("long").alias("unread_count"),
+    )
+
+
 def message_access(messages: DataFrame, parts: DataFrame, user_id: str) -> DataFrame:
     """J9 (backend.py:564-574): the two-hop
     user -PARTICIPATES_IN-> conversation <-IN_CONVERSATION- message

@@ -8,7 +8,8 @@ naive ``Window.orderBy(...)`` over the whole corpus is a single-partition
 bottleneck at 100 TB.
 
 This operator uses the two-phase cumsum: documents are sharded
-deterministically (xxhash64 of the id), the cumsum runs per shard (parallel
+deterministically (sha256-substring of the id — engine-portable, so the
+DuckDB oracle reproduces the layout), the cumsum runs per shard (parallel
 windows), per-shard totals (one row per shard) get a running prefix in a
 tiny single-partition window, and the broadcast prefix joins back. The
 resulting layout order is (shard, order_col, id) — deterministic across

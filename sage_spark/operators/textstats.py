@@ -146,9 +146,11 @@ def with_repetition_stats(
     * ``top_bigram_frac`` — occurrences of the most frequent word bigram
       over all bigrams (looping/spam indicator).
 
-    Shape: lines/bigrams explode -> two (id, gram) counts -> per-doc
-    aggregates. The shuffles key on (id, gram) shorts; at 100 TB this is the
-    same one-pass profile shape as corpus_stats."""
+    Both statistics are PER-document, so neither needs to leave its row:
+    the top-bigram count is the longest equal-run of the sorted bigram
+    array (a higher-order ``aggregate``), not an exploded (id, gram)
+    shuffle. The whole operator is one shuffle-free projection — at 100 TB
+    it runs map-side at scan speed (plan-tested: zero Exchange)."""
     lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != "")
     words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
     bigrams = F.when(
@@ -158,39 +160,39 @@ def with_repetition_stats(
             lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = df.select(
+    n_lines = F.size(lines)
+    n_distinct_lines = F.size(F.array_distinct(lines))
+    # longest equal-run over the sorted array == max bigram frequency,
+    # computed entirely inside the row
+    top_c = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    total_c = F.size(bigrams)
+    return df.select(
         F.col(id_col),
-        lines.alias("__lines"),
-        bigrams.alias("__bigrams"),
+        F.when(
+            n_lines > 0,
+            F.round(1.0 - n_distinct_lines / n_lines, 6),
+        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(
+            total_c > 0,
+            F.round(top_c / total_c, 6),
+        ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
     )
-    line_stats = base.select(
-        id_col,
-        F.size("__lines").alias("n_lines"),
-        F.size(F.array_distinct("__lines")).alias("n_distinct_lines"),
-    )
-    gram_rows = base.select(F.col(id_col), F.explode_outer("__bigrams").alias("g"))
-    gram_counts = (
-        gram_rows.filter(F.col("g").isNotNull())
-        .groupBy(id_col, "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_c"))
-    )
-    out = (
-        line_stats.join(gram_counts, id_col, "left")
-        .select(
-            id_col,
-            F.when(
-                F.col("n_lines") > 0,
-                F.round(1.0 - F.col("n_distinct_lines") / F.col("n_lines"), 6),
-            ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
-            F.when(
-                F.coalesce(F.col("total_c"), F.lit(0)) > 0,
-                F.round(F.col("top_c") / F.col("total_c"), 6),
-            ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
-        )
-    )
-    return out
 
 
 def with_unigram_logprob(

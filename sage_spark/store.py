@@ -74,13 +74,23 @@ class TableStore:
         key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
         return F.pmod(F.xxhash64(key), F.lit(self.buckets)).cast("int")
 
-    def upsert(self, df: DataFrame, table: str, keys: list[str]) -> None:
+    def upsert(
+        self, df: DataFrame, table: str, keys: list[str], *, layout_keys: list[str] | None = None
+    ) -> None:
         """Iceberg-MERGE-equivalent: updates win over existing rows on key.
 
         Legacy layout rewrites the whole table. Bucketed layout reads and
         rewrites only the bucket dirs the updates hash into: the scan prunes
         untouched ``__bucket=K/`` partitions and the write uses dynamic
         partition overwrite, so per-batch IO is O(touched buckets).
+
+        ``layout_keys`` decouples the partition-dir hash from the upsert
+        identity: lay the table out by the columns the READ side probes on
+        (e.g. an LSH index keyed (doc_id, band) but probed by (band, bucket))
+        so point reads prune too, not just writes. Requires content-immutable
+        rows — a key's layout-column values must never change across upserts,
+        which holds for this store's hash-identity tables; otherwise a stale
+        row could survive in a dir the new version's hash no longer touches.
         """
         spark = df.sparkSession
         if self.buckets is None:
@@ -93,7 +103,14 @@ class TableStore:
             self.overwrite(merged, table)
             return
 
-        updates = df.dropDuplicates(keys).withColumn(BUCKET_COL, self._bucket_expr(keys))
+        updates = df.dropDuplicates(keys).withColumn(
+            BUCKET_COL, self._bucket_expr(layout_keys or keys)
+        )
+        # pin the lineage before it is consumed by two separate actions (the
+        # touched-bucket collect and the overwrite): a nondeterministic
+        # upstream must not emit rows into a bucket absent from `touched`,
+        # or dynamic overwrite would drop that bucket's pre-existing rows
+        updates = updates.localCheckpoint(eager=True)
         target = self.path(table)
         if not target.exists():
             tmp = target.with_name(target.name + ".__tmp__")
@@ -116,6 +133,36 @@ class TableStore:
             .partitionBy(BUCKET_COL)
             .parquet(str(target))
         )
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        table: str,
+        layout_values: DataFrame,
+        schema: StructType | None = None,
+        *,
+        layout_keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Read only the bucket dirs the given layout-key rows hash into.
+
+        ``layout_values`` holds the probe side's layout columns (e.g. the
+        batch's (band, bucket) pairs); the touched bucket-id set is bounded
+        by ``self.buckets`` — a scalar list, never data-sized — and the scan
+        prunes to those ``__bucket=K/`` dirs, the read-side twin of the
+        upsert's touched-bucket pruning. Falls back to a full read for
+        legacy (unbucketed) layouts.
+        """
+        if self.buckets is None or not self.exists(table):
+            return self.read(spark, table, schema)
+        keys = layout_keys or layout_values.columns
+        touched = sorted(
+            r[0]
+            for r in layout_values.select(self._bucket_expr(keys).alias(BUCKET_COL))
+            .distinct()
+            .collect()
+        )
+        df = spark.read.parquet(str(self.path(table))).filter(F.col(BUCKET_COL).isin(touched))
+        return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
     def drop(self, table: str) -> None:
         target = self.path(table)

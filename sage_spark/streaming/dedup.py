@@ -21,9 +21,19 @@ means arrived in an earlier micro-batch (or smaller id within one batch),
 which is the only order a stream has.
 
 At crawl scale the per-batch check is a join of the BATCH's buckets
-(small) against the index on (band, bucket) — with the index stored
-bucket-partitioned (TableStore buckets) the scan prunes to the batch's
-buckets; no full-index shuffle.
+(small) against the index on (band, bucket). The index is LAID OUT by
+xxhash64(band, bucket) (TableStore layout_keys) while keeping its upsert
+identity (doc_id, band): the probe computes the batch's touched bucket-id
+set (bounded by the store's bucket count) and reads ONLY those partition
+dirs — per-batch probe cost is O(batch buckets), not O(accumulated index).
+Replay idempotency: foreachBatch re-invokes a failed batch with the SAME
+batch id, so the index stores each row's ``batch_seq`` and the probe keeps
+only partners with ``batch_seq < current`` — a replayed batch sees the
+index exactly as its first run did, even when LATER batches (possibly
+containing near-dups of this one) have landed since. The batch's own ids
+are additionally anti-joined out (covers same-seq rows and callers that
+pass no seq). Without the ordering filter, the smaller-id doc of a
+near-dup pair would flip from clean to flagged on replay.
 """
 
 from __future__ import annotations
@@ -41,6 +51,7 @@ _BUCKET_SCHEMA = T.StructType(
         T.StructField("doc_id", T.StringType(), False),
         T.StructField("band", T.IntegerType(), False),
         T.StructField("bucket", T.LongType(), False),
+        T.StructField("batch_seq", T.LongType(), False),
     ]
 )
 
@@ -54,9 +65,16 @@ def process_near_dup_batch(
     shingle_len: int = 5,
     num_hashes: int = 64,
     bands: int = 16,
+    batch_seq: int | None = None,
 ) -> None:
     """One micro-batch of the streaming near-dup check (also directly
-    usable for incremental batch ingestion)."""
+    usable for incremental batch ingestion).
+
+    ``batch_seq`` is the arrival marker (foreachBatch's batch id): replays
+    of seq K probe only rows with seq < K. Callers without a seq (ad-hoc
+    incremental ingestion) get sentinel -1 rows and an unordered probe —
+    first runs behave identically; only replay-after-later-batches needs
+    the seq."""
     spark = batch.sparkSession
     ids = batch.select(F.col(id_col).cast("string").alias("doc_id")).distinct()
     banded = banded_minhash_buckets(
@@ -69,12 +87,19 @@ def process_near_dup_batch(
     ).select(F.col(id_col).alias("doc_id"), "band", "bucket")
     banded = banded.localCheckpoint(eager=True)  # one signature pass per batch
 
-    index = store.read(spark, BUCKET_TABLE, _BUCKET_SCHEMA)
-    prior_hits = (
-        banded.join(index.withColumnRenamed("doc_id", "partner"), ["band", "bucket"])
-        .filter(F.col("partner") != F.col("doc_id"))
-        .select("doc_id", "partner")
+    # probe-side pruning: scan only the index dirs the batch's (band, bucket)
+    # pairs hash into; then restrict to rows that arrived BEFORE this batch
+    # (seq filter + own-id anti-join) so a replayed batch reproduces its
+    # first-run view (exactly-once flags under retry)
+    index = store.read_pruned(
+        spark, BUCKET_TABLE, banded.select("band", "bucket"), _BUCKET_SCHEMA
     )
+    if batch_seq is not None:
+        index = index.filter(F.col("batch_seq") < F.lit(int(batch_seq)))
+    index = index.join(ids, "doc_id", "left_anti")
+    prior_hits = banded.join(
+        index.withColumnRenamed("doc_id", "partner"), ["band", "bucket"]
+    ).select("doc_id", "partner")
     intra_hits = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bucket"])
@@ -92,7 +117,12 @@ def process_near_dup_batch(
         .select("doc_id", F.col("near_dup_of"), F.col("near_dup_of").isNotNull().alias("is_near_dup"))
     )
     store.upsert(flags, FLAG_TABLE, ["doc_id"])
-    store.upsert(banded, BUCKET_TABLE, ["doc_id", "band"])
+    # identity stays (doc_id, band) — replays are keyed no-ops — but the
+    # dirs are laid out by the PROBE key so the read side prunes too
+    stamped = banded.withColumn(
+        "batch_seq", F.lit(int(batch_seq) if batch_seq is not None else -1).cast("long")
+    )
+    store.upsert(stamped, BUCKET_TABLE, ["doc_id", "band"], layout_keys=["band", "bucket"])
 
 
 def start_streaming_near_dedup(
@@ -105,10 +135,10 @@ def start_streaming_near_dedup(
 ):
     """Wire the per-batch check into a Structured Streaming sink."""
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        process_near_dup_batch(batch_df, store, **kwargs)
+        process_near_dup_batch(batch_df, store, batch_seq=batch_id, **kwargs)
 
     writer = stream.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -172,3 +172,22 @@ def test_pagerank_properties_and_replay_agreement(spark):
     exp = {r["v"]: r["rank"] for r in expected_pagerank(edges, iterations=25)}
     for v in exp:
         assert abs(got[v] - exp[v]) < 1e-9, v
+
+
+def test_pagerank_early_exit_converges_to_fixed_point(spark):
+    """tol-based early exit must land on the same fixed point as a long
+    exact run (contraction bound |r_k - r_inf|_1 <= delta*d/(1-d)), and
+    sparser checkpoint cadence must not change values at all."""
+    from sage_spark.operators.pagerank import pagerank
+
+    edges = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"), ("a", "b"), ("b", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    exact = {r["v"]: r["rank"] for r in pagerank(df, iterations=60).collect()}
+    early = {r["v"]: r["rank"] for r in pagerank(df, iterations=60, tol=1e-10).collect()}
+    assert abs(sum(early.values()) - 1.0) < 1e-9
+    for v in exact:
+        assert abs(early[v] - exact[v]) < 1e-6, v
+    # cadence-only change (tol=None) is bit-stable vs per-iteration checkpoints
+    a = {r["v"]: r["rank"] for r in pagerank(df, iterations=7, checkpoint_every=1).collect()}
+    b = {r["v"]: r["rank"] for r in pagerank(df, iterations=7, checkpoint_every=4).collect()}
+    assert a == b

@@ -439,3 +439,31 @@ def test_dataprep_job_end_to_end(spark, tmp_path):
     got_total = packs.agg(F.sum("n_tokens")).collect()[0][0]
     assert got_total == summary["total_tokens"]
     assert packs.agg(F.max("last_pack")).collect()[0][0] == summary["n_packs"] - 1
+
+    # --verify-jaccard: near-dedup drops only pairs whose EXACT shingle
+    # Jaccard clears the bar (LSH false positives survive)
+    out2 = tmp_path / "prep_verified"
+    proc2 = subprocess.run(
+        [
+            sys.executable, "jobs/run_dataprep.py",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(out2),
+            "--verify-jaccard", "0.8",
+        ],
+        capture_output=True, text=True, timeout=500, check=True, cwd="/root/repo",
+    )
+    summary2 = json.loads([l for l in proc2.stdout.splitlines() if l.startswith("{")][-1])
+    assert summary2["near_dedup"] >= summary["near_dedup"]  # verify only un-drops
+    corpus2 = spark.read.parquet(str(out2 / "corpus"))
+    ids1 = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in corpus2.select("doc_id").collect()}
+    assert ids1 <= ids2
+    # survivor-side completeness: no remaining LSH-candidate pair clears 0.8
+    from sage_spark.operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    sided2 = corpus2.withColumn("__sid", F.col("doc_id").cast("string"))
+    cand2 = minhash_lsh_candidates(sided2, "text", "__sid", bands=8, num_hashes=64)
+    ver2 = ngram_jaccard_pairs(
+        sided2, "text", "__sid", threshold=0.8, candidates=cand2.select("id_a", "id_b")
+    )
+    assert ver2.count() == 0

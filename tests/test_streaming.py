@@ -260,8 +260,62 @@ def test_streaming_near_dedup_matches_batch(spark, tmp_path):
         if r["is_near_dup"]:
             assert (r["near_dup_of"], d) in {(p["id_a"], p["id_b"]) for p in batch_pairs}
 
-    # idempotence: replaying the last micro-batch changes nothing
+    # idempotence: replaying the last micro-batch (same batch_seq, as
+    # foreachBatch does on retry) changes nothing
     before = sorted(map(tuple, store.read(spark, FLAG_TABLE).collect()))
-    process_near_dup_batch(df.filter("doc_id in (3, 5, 6)"), store, bands=16, num_hashes=64)
+    process_near_dup_batch(
+        df.filter("doc_id in (3, 5, 6)"), store, bands=16, num_hashes=64, batch_seq=1
+    )
     after = sorted(map(tuple, store.read(spark, FLAG_TABLE).collect()))
     assert after == before
+
+    # idempotence replaying the FIRST batch after later ones landed: doc 3
+    # (batch 1) is a near-dup of docs 1/2 (batch 0) and now sits in the
+    # index; without the batch_seq ordering filter, replaying batch 0 would
+    # flip doc 1 from clean to near_dup_of=3. Docs 1/2 also collide INTRA-
+    # batch, which the own-id anti-join must keep invisible on replay.
+    process_near_dup_batch(
+        df.filter("doc_id in (1, 2, 4)"), store, bands=16, num_hashes=64, batch_seq=0
+    )
+    replayed = sorted(map(tuple, store.read(spark, FLAG_TABLE).collect()))
+    assert replayed == before
+
+
+def test_streaming_near_dedup_probe_scans_bucket_subset(spark, tmp_path):
+    """The per-batch probe must read a strict subset of the index's bucket
+    dirs (layout keyed on (band, bucket)), not the whole accumulated index —
+    the O(batch) probe contract that makes a long-running crawl viable."""
+    from pyspark.sql import functions as F
+
+    from sage_spark.operators.dedup import banded_minhash_buckets
+    from sage_spark.streaming.dedup import BUCKET_TABLE, process_near_dup_batch
+
+    base = spark.range(0, 40).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("wholly distinct document number "),
+            F.col("id").cast("string"),
+            F.lit(" with its own content about topic "),
+            (F.col("id") * 37 % 97).cast("string"),
+        ).alias("text"),
+    )
+    store = TableStore(tmp_path / "probe_store", buckets=64)
+    process_near_dup_batch(base.filter("doc_id < 36"), store, bands=16, num_hashes=64)
+
+    batch = base.filter("doc_id >= 36").withColumn("doc_id", F.col("doc_id").cast("string"))
+    banded = banded_minhash_buckets(batch, "text", "doc_id", shingle_len=5, num_hashes=64, bands=16)
+    pruned = store.read_pruned(spark, BUCKET_TABLE, banded.select("band", "bucket"))
+    # the partition filter must reach the scan (inputFiles() ignores
+    # pruning, so check the files ACTUALLY read via input_file_name)
+    all_files = set(spark.read.parquet(str(store.path(BUCKET_TABLE))).inputFiles())
+    read_files = {
+        r[0].replace("file://", "file:///").replace("file:////", "file:///")
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    norm_all = {f.replace("file://", "file:///").replace("file:////", "file:///") for f in all_files}
+    assert read_files and read_files < norm_all
+    # and the second batch still processes correctly over the pruned probe
+    process_near_dup_batch(batch, store, bands=16, num_hashes=64)
+    from sage_spark.streaming.dedup import FLAG_TABLE
+
+    assert store.read(spark, FLAG_TABLE).count() == 40

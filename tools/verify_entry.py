@@ -77,6 +77,12 @@ def main() -> int:
         # (the round-2 corpus_stats_by_source lesson). Flag width mismatches.
         spark_types = dict(df.dtypes)
         type_warn = []
+        # Array/struct/map contract columns crash the driver's hasher outright
+        # (pandas can't factorize list cells — the round-3 retrieval_trace red).
+        # Serialize them (array_join / to_json) before they leave the contract.
+        for c, st in spark_types.items():
+            if st.startswith(("array", "struct", "map")):
+                type_warn.append((c, st, "non-scalar contract column"))
         for c, dt in zip(duck_cols, duck_types):
             st = spark_types.get(c, spark_types.get(c.lower(), ""))
             # HUGEINT/DECIMAL leave pandas' int64 fast path (object/float64),
