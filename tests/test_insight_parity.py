@@ -17,7 +17,7 @@ from sage_spark.kernel.insight import (
 )
 
 from .ref_oracle import RefSession, load_reference_saia
-from .test_kernel_parity import CATALOG, PERSONS, REF_SESSION, SENTENCES
+from .test_kernel_parity import CATALOG, REF_SESSION, SENTENCES
 
 saia = load_reference_saia()
 
