@@ -967,7 +967,9 @@ def q_chat_unread_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     webtext, _ = synth_webtext(spark, SYNTH_DOCS, n_persons=SYNTH_PERSONS, seed=SEED)
-    msgs = messages_from_webtext(webtext)
+    # the plan references msgs four times (reads x2, parts, unread scan);
+    # pin it once instead of re-deriving the synthetic log per reference
+    msgs = messages_from_webtext(webtext).localCheckpoint(eager=True)
     parts = participations(msgs)
     marked = msgs.filter(
         F.substring(F.sha2(F.col("message_id"), 256), 1, 1).isin(*"01234567")

@@ -216,6 +216,9 @@ def main() -> None:
         "text_pii_redacted",
         "text_repetition_stats",
         "text_unigram_logprob",
+        # round-4 surfaces
+        "kg_insight",
+        "chat_unread_counts",
     ]
     queries = entrymod.queries()
     # retired from the 50-slot driver registry but still bench-tracked

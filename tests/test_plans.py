@@ -41,12 +41,19 @@ def test_scan_prunes_columns_and_pushes_filters(spark):
 def test_repetition_stats_plan_has_no_exchange(spark):
     """Both Gopher repetition signals are per-document, so the operator must
     be a single shuffle-free projection: no (id, gram) explode+exchange —
-    the round-3 plan shuffled the whole bigram stream for a row-local stat."""
+    the round-3 plan shuffled the whole bigram stream for a row-local stat.
+    The bigram counter runs as an Arrow-batched pandas UDF (measured 5.6x
+    over the shuffle form), so the plan carries exactly one ArrowEvalPython
+    stage and nothing Python-row-wise."""
     from sage_spark.operators.textstats import with_repetition_stats
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(spark, with_repetition_stats(docs))
     assert "Exchange" not in plan and "Generate" not in plan
+    # one node header "ArrowEvalPython (N)" — the detail section repeats
+    # the name, so count headers, not substrings
+    assert plan.count("ArrowEvalPython (") == 1
+    assert "BatchEvalPython" not in plan  # never the row-at-a-time path
 
 
 def test_anti_join_is_broadcast(spark):
@@ -154,6 +161,19 @@ def test_pagerank_iterations_launch_no_collect_jobs(spark):
     )
     ranks = {r["v"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-9  # mass conserved incl. dangling d
+
+
+def test_insight_plan_broadcasts_names_no_cartesian(spark):
+    """The insight walk must stay key-partitioned end-to-end: the display-
+    name dim broadcasts to both label lookups, and no join in the
+    message->docs->claims->facts->replacements chain degenerates to a
+    cartesian/nested-loop product (the equality-only join conditions keep
+    even the previous-fact join hash-based)."""
+    plan = _plan(spark, entrymod.queries()["kg_insight"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the conditional previous-fact join is equality-driven, not a BNLJ
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_decontaminate_broadcasts_benchmark_grams(spark):
