@@ -164,6 +164,35 @@ class TableStore:
         df = spark.read.parquet(str(self.path(table))).filter(F.col(BUCKET_COL).isin(touched))
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
+    def compact(self, spark: SparkSession, table: str) -> None:
+        """Maintenance rewrite (Iceberg's rewrite_data_files analog): every
+        keyed upsert appends one file-set into each touched bucket dir, so a
+        long-running ingest accumulates many small files per dir and scan
+        cost creeps up. Compaction rewrites the table so each bucket dir
+        holds one file (rows and bucket assignment unchanged), via a temp
+        dir + atomic rename so a killed compaction never corrupts the table.
+        Unbucketed tables collapse to a single file."""
+        target = self.path(table)
+        if not target.exists():
+            return
+        df = spark.read.parquet(str(target))
+        tmp = target.with_name(target.name + ".__compact__")
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        if self.buckets is not None and BUCKET_COL in df.columns:
+            # hash-repartition ON the bucket value: each task owns whole
+            # buckets, so every dir is written by exactly one task -> one file
+            (
+                df.repartition(self.buckets, F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(str(tmp))
+            )
+        else:
+            df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        shutil.rmtree(target)
+        tmp.rename(target)
+
     def drop(self, table: str) -> None:
         target = self.path(table)
         if target.exists():

@@ -635,3 +635,17 @@ def test_strip_boilerplate_site_rule(spark):
     assert out[3]["text_clean"] == "unique three no footer" and out[3]["n_lines_removed"] == 0
     assert out[4]["text_clean"] == "" and out[4]["n_lines_removed"] == 1
     assert out[5]["text_clean"] == f"solo doc\n{foot}" and out[5]["n_lines_removed"] == 0
+
+
+def test_contract_registry_fits_driver_window():
+    """The driver verifies only the FIRST 50 registry rows (round 3 shipped
+    56 and the tail went silently unchecked): the registry must stay at
+    <= 50 entries, every entry must have an oracle, and contract columns
+    must never be non-scalar (the driver hasher crashes on list cells)."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    assert len(q) <= 50, f"{len(q)} entries exceed the driver's 50-row check window"
+    oracles = entrymod.oracle_sql()
+    missing = [k for k in q if k not in oracles]
+    assert not missing, f"queries with no oracle: {missing}"

@@ -393,6 +393,54 @@ def test_bucketed_store_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     assert again == got
 
 
+def test_bucketed_store_compaction(spark, tmp_path):
+    """A long ingest leaves one file-set per upsert in every touched bucket
+    dir; compact() must rewrite each dir to ONE file with rows, bucket
+    assignment, and subsequent-upsert behavior all unchanged (the
+    rewrite_data_files maintenance op of an Iceberg table)."""
+    import glob
+    import os
+
+    from sage_spark.store import TableStore
+
+    store = TableStore(tmp_path / "cstore", buckets=4)
+    for batch in range(3):
+        df = spark.createDataFrame(
+            [(f"id{batch}_{i}", f"v{batch}") for i in range(60)], "k string, v string"
+        )
+        store.upsert(df, "t", ["k"])
+    root = tmp_path / "cstore" / "t"
+    buckets = sorted(p for p in os.listdir(root) if p.startswith("__bucket="))
+
+    def files(b):
+        return [f for f in glob.glob(f"{root}/{b}/*") if f.endswith(".parquet")]
+
+    assert any(len(files(b)) > 1 for b in buckets), "upserts should fragment dirs"
+    before = sorted(map(tuple, store.read(spark, "t").collect()))
+    store.compact(spark, "t")
+    after_buckets = sorted(p for p in os.listdir(root) if p.startswith("__bucket="))
+    assert after_buckets == buckets  # layout preserved
+    for b in after_buckets:
+        assert len(files(b)) == 1, (b, files(b))
+    assert sorted(map(tuple, store.read(spark, "t").collect())) == before
+    # bucketed upserts still prune correctly against the compacted layout
+    store.upsert(
+        spark.createDataFrame([("id0_0", "NEW")], "k string, v string"), "t", ["k"]
+    )
+    got = {r["k"]: r["v"] for r in store.read(spark, "t").collect()}
+    assert got["id0_0"] == "NEW" and len(got) == 180
+
+    # unbucketed table collapses to one file
+    flat = TableStore(tmp_path / "fstore")
+    for batch in range(3):
+        flat.upsert(
+            spark.createDataFrame([(f"x{batch}", "v")], "k string, v string"), "t", ["k"]
+        )
+    flat.compact(spark, "t")
+    assert len(glob.glob(f"{tmp_path}/fstore/t/*.parquet")) == 1
+    assert flat.read(spark, "t").count() == 3
+
+
 def test_pipeline_resume_noop_with_bucketed_store(spark, tmp_path):
     """The resume contract must hold on the bucketed layout: a second run
     over the same corpus changes no counts and records zero conflicts."""
