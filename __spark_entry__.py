@@ -89,6 +89,25 @@ def _synth_claims(spark: SparkSession) -> DataFrame:
     return claims
 
 
+_SYNTH_UNION_CACHE: dict[int, DataFrame] = {}
+
+
+def _synth_union(spark: SparkSession) -> DataFrame:
+    """Canonicalized claim/fact union over the synthetic claims; memoized
+    per session like _synth_claims — three contract queries (facts_current,
+    facts_with_evidence, insight) share the cogrouped mutation replay, so
+    compute it once and pin it."""
+    key = id(spark)
+    cached = _SYNTH_UNION_CACHE.get(key)
+    if cached is not None:
+        return cached
+    union = canonicalize_claims(_synth_claims(spark), None, seen_at=RUN_TS).localCheckpoint(
+        eager=True
+    )
+    _SYNTH_UNION_CACHE[key] = union
+    return union
+
+
 def q_kg_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _synth_claims(spark).select(
         "doc_id", "claim_id", "claim_type", "predicate", "subject_key", "object_key",
@@ -107,9 +126,7 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_facts_current(spark: SparkSession, sf_dir: str) -> DataFrame:
-    claims = _synth_claims(spark)
-    union = canonicalize_claims(claims, None, seen_at=RUN_TS)
-    facts = split_facts(union)
+    facts = split_facts(_synth_union(spark))
     return facts.filter(F.col("status") == "current").select(
         "fact_id", "canonical_key", "claim_type", "predicate", "subject_key",
         "object_key", "value_text", "status", "support_count",
@@ -692,8 +709,7 @@ def q_kg_facts_with_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sage_spark.operators.graph import facts_with_evidence
 
     claims = _synth_claims(spark)
-    union = canonicalize_claims(claims, None, seen_at=RUN_TS)
-    union = union.localCheckpoint(eager=True)
+    union = _synth_union(spark)
     facts = split_facts(union).filter(F.col("status") == "current")
     edges = split_edges(union)
     docs = claims.select("doc_id").distinct().select(
@@ -999,7 +1015,7 @@ def q_kg_insight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     claims = _synth_claims(spark)
-    union = canonicalize_claims(claims, None, seen_at=RUN_TS).localCheckpoint(eager=True)
+    union = _synth_union(spark)
     facts = split_facts(union)
     edges = split_edges(union)
     documents = claims.select("doc_id").distinct().select(
