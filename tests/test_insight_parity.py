@@ -11,6 +11,7 @@ from sage_spark.kernel.insight import (
     collect_entity_ids,
     decorate_claim_for_insight,
     decorate_fact_for_insight,
+    display_label_from_fields,
     load_entity_display_names,
     preview_message_claims,
     render_record_display_text,
@@ -215,3 +216,69 @@ def test_fact_decoration_parity():
         assert mine["subject_display"] == theirs["subject_display"]
         assert mine["object_display"] == theirs["object_display"]
         assert mine["display_summary"] == render_record_display_text(fact, names)
+
+
+# --- fuzz: the display renderer over arbitrary record shapes ---------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_opt_text = st.one_of(st.none(), st.text(max_size=24))
+_claim_types = st.sampled_from(
+    ["TASK_ASSIGNMENT", "REPORTS_TO", "APPROVAL_STATE", "STATUS_UPDATE",
+     "ASSIGNMENT_STATE", "MEETING_EVENT", "REQUEST", "OTHER", None]
+)
+_payloads = st.one_of(
+    st.none(),
+    st.just("{}"),
+    st.just("not json"),
+    st.fixed_dictionaries(
+        {},
+        optional={
+            "verb": st.sampled_from(["send", "review", "do", "zz", ""]),
+            "recipient_relation": st.sampled_from(["to", "with", ""]),
+            "assignment_target": st.sampled_from(["project-a", "x_y", "", "12"]),
+        },
+    ).map(lambda d: __import__("json").dumps(d)),
+)
+_record = st.fixed_dictionaries(
+    {"claim_type": _claim_types, "payload_json": _payloads},
+    optional={
+        "subject_entity_id": _opt_text,
+        "subject_key": _opt_text,
+        "subject_raw": _opt_text,
+        "object_entity_id": _opt_text,
+        "object_key": _opt_text,
+        "object_raw": _opt_text,
+        "value_text": _opt_text,
+        "temporal_start": _opt_text,
+        "normalized_text": _opt_text,
+        "summary": _opt_text,
+    },
+)
+_names = st.dictionaries(st.text(min_size=1, max_size=8), st.text(min_size=1, max_size=12), max_size=4)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_record, _names)
+def test_fuzz_display_render_parity(record, names):
+    """render_record_display_text + both label fallbacks must equal the
+    reference byte-for-byte on arbitrary record shapes (missing fields,
+    junk payload JSON, empty strings, unknown claim types)."""
+    mine, theirs = dict(record), dict(record)
+    assert render_record_display_text(mine, names) == saia._render_record_display_text(
+        theirs, names
+    )
+    for role in ("subject", "object"):
+        got = display_label_from_fields(
+            entity_id=record.get(f"{role}_entity_id"),
+            key=record.get(f"{role}_key"),
+            raw=record.get(f"{role}_raw"),
+            display_names=names,
+        )
+        exp = saia._display_label_from_fields(
+            entity_id=record.get(f"{role}_entity_id"),
+            key=record.get(f"{role}_key"),
+            raw=record.get(f"{role}_raw"),
+            display_names=names,
+        )
+        assert got == exp
