@@ -158,7 +158,10 @@ def _nonempty(c: Column) -> Column:
 def humanize_label_col(c: Column) -> Column:
     """Column form of kernel humanize_label (reference saia.py:1794-1807):
     emails/alnum-ids verbatim; dashed/underscored slugs split + capitalized;
-    all-lowercase text title-cased."""
+    all-lowercase text title-cased. ASCII-faithful to the kernel
+    (parity-tested); exotic non-ASCII title-case mappings (Python's
+    str.capitalize uses titlecase, JVM upper does not) may differ — entity
+    keys/slugs in this pipeline are ASCII."""
     t = F.trim(c.cast("string"))
 
     def cap_if_lower(p: Column) -> Column:
