@@ -456,6 +456,63 @@ def test_pipeline_resume_noop_with_bucketed_store(spark, tmp_path):
     assert r2.conflicts == 0
 
 
+def test_insight_job_end_to_end(spark, tmp_path):
+    """jobs/run_insight.py over a jobs/run_kg.py store: the batch insight
+    walk must cover exactly the claim-bearing documents, link every
+    CONTRADICTS row to a fact, put predecessors only on SUPPORTS rows, and
+    agree with the store's own claim/edge tables."""
+    import json
+    import subprocess
+    import sys
+
+    kg = tmp_path / "kgi"
+    subprocess.run(
+        [
+            sys.executable, "jobs/run_kg.py", "--synthetic", "400",
+            "--store", str(kg), "--run-id", "i1",
+            "--run-ts", "2026-05-01T00:00:00+00:00",
+        ],
+        capture_output=True, text=True, timeout=500, check=True, cwd="/root/repo",
+    )
+    out = tmp_path / "insight"
+    proc = subprocess.run(
+        [
+            sys.executable, "jobs/run_insight.py",
+            "--store", str(kg), "--output", str(out),
+        ],
+        capture_output=True, text=True, timeout=500, check=True, cwd="/root/repo",
+    )
+    summary = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    assert summary["rows"] >= summary["messages"] > 0
+    assert summary["with_fact_link"] > 0 and summary["replacements"] > 0
+
+    rows = spark.read.parquet(str(out / "insight"))
+    # raw dir reads surface the store's __bucket partition col — project it out
+    claims = spark.read.parquet(str(kg / "claims")).drop("__bucket")
+    # coverage: one message scope per claim-bearing document
+    assert summary["messages"] == claims.select("doc_id").distinct().count()
+    # every CONTRADICTS row carries its fact; predecessors only on SUPPORTS
+    assert rows.filter(
+        (F.col("relation_type") == "CONTRADICTS") & F.col("fact_id").isNull()
+    ).count() == 0
+    assert rows.filter(
+        F.col("previous_fact_id").isNotNull() & (F.col("relation_type") != "SUPPORTS")
+    ).count() == 0
+    # per-claim display text is present and non-empty everywhere
+    assert rows.filter(F.col("display_text").isNull() | (F.col("display_text") == "")).count() == 0
+    # fact-linked row set equals the store's claim_fact_edges
+    edges = spark.read.parquet(str(kg / "claim_fact_edges")).select(
+        "claim_id", "fact_id", "relation_type"
+    )
+    got_links = rows.filter(F.col("fact_id").isNotNull()).select(
+        "claim_id", "fact_id", "relation_type"
+    ).distinct()
+    assert got_links.exceptAll(edges).count() == 0
+    assert edges.join(claims.select("claim_id"), "claim_id", "left_semi").exceptAll(
+        got_links
+    ).count() == 0
+
+
 def test_dataprep_job_end_to_end(spark, tmp_path):
     """jobs/run_dataprep.py stage chain over the driver documents table:
     monotone survivor counts, pack manifest consistent with total tokens,
