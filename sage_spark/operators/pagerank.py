@@ -37,9 +37,9 @@ def pagerank(
     semantics, matching the MERGE-built reference graph).
 
     Lineage is truncated every ``checkpoint_every`` iterations. The cadence
-    is a measured trade: `ranks` appears ~3x in each iteration's plan
-    (dangling agg + contribution join + vertex join), so k un-checkpointed
-    iterations grow the logical plan ~3^k — cadence 2 benched fastest
+    is a measured trade: `ranks` appears twice in each iteration's plan
+    (dangling-mass aggregate + contribution join), so k un-checkpointed
+    iterations grow the logical plan exponentially — cadence 2 benched fastest
     (6.3 s vs 9.1 s at 1 and 7.2 s at 4 for the 20-iteration contract
     graph); per-iteration eager actions were the round-3 bottleneck, plan
     blowup punishes long cadences. With ``tol`` set, stops
