@@ -68,6 +68,29 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # KG pipeline queries (synthetic webtext; deterministic at any parallelism)
 # --------------------------------------------------------------------------
 
+# The synthetic contract queries run on ~300 docs: at the session default
+# (32-200 shuffle partitions) each of their dozens of exchanges launches
+# dozens of near-empty tasks, and that fixed overhead — not the operators —
+# dominated the round-4 wall times (chat_unread_counts 7.9 s, kg_insight
+# 6.7 s were ~all exchange scheduling). Every registry entry therefore
+# declares its input class: synthetic-tiny queries run at 4 shuffle
+# partitions, parquet-backed queries restore the session's own setting.
+# Results are partitioning-invariant (hash identities + explicit ordering),
+# so this is a latency knob only; at real scale callers size the session
+# conf / AQE, not this.
+_TINY_SHUFFLE = "4"
+_SESSION_SHUFFLE: dict[int, str] = {}
+
+
+def _set_shuffle(spark: SparkSession, tiny: bool) -> None:
+    key = id(spark)
+    if key not in _SESSION_SHUFFLE:
+        _SESSION_SHUFFLE[key] = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _TINY_SHUFFLE if tiny else _SESSION_SHUFFLE[key]
+    )
+
+
 _SYNTH_CLAIMS_CACHE: dict[int, DataFrame] = {}
 
 
@@ -106,6 +129,25 @@ def _synth_union(spark: SparkSession) -> DataFrame:
     )
     _SYNTH_UNION_CACHE[key] = union
     return union
+
+
+_SYNTH_MESSAGES_CACHE: dict[int, DataFrame] = {}
+
+
+def _synth_messages(spark: SparkSession) -> DataFrame:
+    """The synthetic chat message log, memoized per session: all three chat
+    contract queries walk the same log, so derive it once and pin it (the
+    _synth_claims discipline, extended per the round-4 verdict)."""
+    from sage_spark.operators.chat import messages_from_webtext
+
+    key = id(spark)
+    cached = _SYNTH_MESSAGES_CACHE.get(key)
+    if cached is not None:
+        return cached
+    webtext, _ = synth_webtext(spark, SYNTH_DOCS, n_persons=SYNTH_PERSONS, seed=SEED)
+    msgs = messages_from_webtext(webtext).localCheckpoint(eager=True)
+    _SYNTH_MESSAGES_CACHE[key] = msgs
+    return msgs
 
 
 def q_kg_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,29 +762,47 @@ def q_kg_facts_with_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fully distributed: scan -> project to MEDIA_SCHEMA shape -> one
-    # MapInPandas decode stage; no driver round-trip (plan-tested in
+    # fully distributed: scan -> Arrow payload synthesis -> one MapInPandas
+    # decode stage; no driver round-trip (plan-tested in
     # tests/test_plans.py::test_multimodal_plan_single_mapinpandas_over_scan).
     # doc_id < 100 (not limit) so the subset is deterministic and oracle-able.
+    # Payloads are REAL PNG/GIF containers (datagen.synth_media_payload) and
+    # the decode runs strict — the round-4 dimension stub is gone; the
+    # oracle is a serial no-Spark replay of the same payload rule + header
+    # parse (see _expected_docs_dir).
+    def _payload_fn(doc_id):
+        from sage_spark.datagen import synth_media_payload
+
+        return doc_id.map(lambda i: synth_media_payload(int(i)))
+
+    _payload = F.pandas_udf(_payload_fn, "binary")
+
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = docs.select(
-        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.concat(F.lit("img-"), F.format_string("%03d", "doc_id")).alias("media_id"),
         F.col("doc_id").cast("string").alias("doc_id"),
         F.lit("image").alias("media_type"),
         F.lit("image/png").alias("mime"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
+        _payload(F.col("doc_id")).alias("payload"),
         F.lit(None).cast("string").alias("meta_json"),
     )
-    feats = extract_image_features(media)
-    return feats.select("media_id", "content_sha256", "width", "height").orderBy("media_id")
+    feats = extract_image_features(media, strict=True)
+    return feats.select(
+        "media_id",
+        "content_sha256",
+        "fmt",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("bit_depth").cast("long").alias("bit_depth"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+    ).orderBy("media_id")
 
 
 def q_chat_participations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARTICIPATES_IN edge materialization (chat_store.py:236-297)."""
-    from sage_spark.operators.chat import messages_from_webtext, participations
+    from sage_spark.operators.chat import participations
 
-    webtext, _ = synth_webtext(spark, SYNTH_DOCS, n_persons=SYNTH_PERSONS, seed=SEED)
-    return participations(messages_from_webtext(webtext)).orderBy("person_id", "conversation_id")
+    return participations(_synth_messages(spark)).orderBy("person_id", "conversation_id")
 
 
 def q_text_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -950,10 +1010,9 @@ def q_join_range_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_chat_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation dimension + PARTICIPATES_IN derivation over the message
     log (chat_store.py:236-297 as one groupBy)."""
-    from sage_spark.operators.chat import conversations, messages_from_webtext
+    from sage_spark.operators.chat import conversations
 
-    webtext, _ = synth_webtext(spark, SYNTH_DOCS, n_persons=SYNTH_PERSONS, seed=SEED)
-    convs = conversations(messages_from_webtext(webtext))
+    convs = conversations(_synth_messages(spark))
     return convs.select(
         "conversation_id", "conversation_type", "group_id", "n_messages", "updated_at"
     ).orderBy("conversation_id")
@@ -962,10 +1021,9 @@ def q_chat_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_chat_message_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9 (backend.py:564-574): the two-hop user->conversation<-message
     access check as a broadcast semi-join, for the hub user EMP001."""
-    from sage_spark.operators.chat import message_access, messages_from_webtext, participations
+    from sage_spark.operators.chat import message_access, participations
 
-    webtext, _ = synth_webtext(spark, SYNTH_DOCS, n_persons=SYNTH_PERSONS, seed=SEED)
-    msgs = messages_from_webtext(webtext)
+    msgs = _synth_messages(spark)
     acc = message_access(msgs, participations(msgs), "EMP001")
     return acc.select("message_id", "conversation_id").orderBy("message_id")
 
@@ -975,17 +1033,11 @@ def q_chat_unread_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (chat_store.py:589-609 read marking, 1039-1046 unread count): senders
     always self-read; recipients read the sha-marked message subset (a
     deterministic, engine-portable rule — kernel/expected.read_subset_marker)."""
-    from sage_spark.operators.chat import (
-        messages_from_webtext,
-        participations,
-        read_edges,
-        unread_counts,
-    )
+    from sage_spark.operators.chat import participations, read_edges, unread_counts
 
-    webtext, _ = synth_webtext(spark, SYNTH_DOCS, n_persons=SYNTH_PERSONS, seed=SEED)
     # the plan references msgs four times (reads x2, parts, unread scan);
-    # pin it once instead of re-deriving the synthetic log per reference
-    msgs = messages_from_webtext(webtext).localCheckpoint(eager=True)
+    # the session-memoized checkpoint pins it once for all chat queries
+    msgs = _synth_messages(spark)
     parts = participations(msgs)
     marked = msgs.filter(
         F.substring(F.sha2(F.col("message_id"), 256), 1, 1).isin(*"01234567")
@@ -1043,6 +1095,62 @@ def q_kg_insight(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("claim_id", "fact_id", "previous_fact_id")
 
 
+_SYNTH_SPLIT_CACHE: dict[int, tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
+def _synth_split(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Deterministic store/batch split for the incremental-maintenance
+    queries: docs whose sha256 doc_id starts 0-7 are the established corpus
+    (canonicalized into a fact store), the rest arrive as the new batch.
+    Returns (claims_batch, facts_store_current, claims_store), memoized —
+    kg_fact_diff and kg_impact_radius share the replay."""
+    key = id(spark)
+    cached = _SYNTH_SPLIT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    claims = _synth_claims(spark)
+    first = F.substring("doc_id", 1, 1)
+    store_claims = claims.filter(first.isin(*"01234567")).localCheckpoint(eager=True)
+    batch_claims = claims.filter(~first.isin(*"01234567")).localCheckpoint(eager=True)
+    union = canonicalize_claims(store_claims, None, seen_at=RUN_TS)
+    facts = split_facts(union).filter(F.col("status") == "current").localCheckpoint(eager=True)
+    out = (batch_claims, facts, store_claims)
+    _SYNTH_SPLIT_CACHE[key] = out
+    return out
+
+
+def q_kg_fact_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance (under_development/saia.py:117-146): classify
+    the new batch's promotable claims against the live fact store as
+    added / confirmed / contradicted — one canonical_key-keyed join. Oracled
+    against a serial nested-loop replay (kernel/expected.expected_fact_diff)."""
+    from sage_spark.operators.incremental import fact_diff
+
+    batch, facts, _ = _synth_split(spark)
+    return fact_diff(batch, facts).orderBy("claim_id", "doc_id", "canonical_key")
+
+
+def q_kg_impact_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact radius (under_development/saia.py:147-189): BFS out to depth 2
+    from the entities touched by non-confirmed diff rows, over the store's
+    entity mention graph — the iterative frontier-expansion shape of
+    operators/components.py. Oracled against a serial BFS replay."""
+    from sage_spark.operators.incremental import (
+        changed_entities,
+        fact_diff,
+        impact_radius,
+    )
+
+    batch, facts, store_claims = _synth_split(spark)
+    diff = fact_diff(batch, facts)
+    seeds = changed_entities(diff, batch)
+    edges = store_claims.filter(
+        F.col("subject_entity_id").isNotNull() & F.col("object_entity_id").isNotNull()
+    ).select(F.col("subject_entity_id").alias("src"), F.col("object_entity_id").alias("dst"))
+    out = impact_radius(seeds, edges, max_depth=2)
+    return out.select("entity_id", F.col("depth").cast("long").alias("depth")).orderBy("entity_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple construction. Loads the sf0.001 tables (driver
     contract), derives a webtext batch from the documents table, runs the
@@ -1077,19 +1185,51 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# queries whose inputs are wholly synthetic KB-scale frames (no sf_dir
+# parquet): they run under _TINY_SHUFFLE partitions; everything else
+# restores the session's own setting (see _set_shuffle)
+_TINY_QUERIES = {
+    "kg_claims", "kg_triples", "kg_facts_current", "kg_chunks",
+    "kg_entity_components", "kg_facts_with_evidence", "kg_insight",
+    "kg_fact_diff", "kg_impact_radius", "graph_pagerank",
+    "retrieval_trace", "retrieval_trace_summary",
+    "chat_conversations", "chat_message_access", "chat_unread_counts",
+    "chat_participations",
+}
+
+
+def _wrap_conf(name: str, fn: Callable[[SparkSession, str], DataFrame]):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _set_shuffle(spark, name in _TINY_QUERIES)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """EXACTLY 50 entries — the driver's check window (it verifies the first
     50 registry rows; round 3 shipped 56 and the tail went unchecked).
-    Never-yet-driver-green and new queries lead; 8 redundant always-green
-    rows were retired to make room (their q_ functions and operators remain,
-    with UT/PL coverage): dedup_exact_groups (twin of dedup_exact_keep),
-    agg_rollup_events (twin of agg_hypertable_rollup), chat_participations,
-    semi_suppliers_with_recent_shipments, corpus_sample (subsumed by
-    stratified), text_quality_filter (quality + a predicate), and the
-    rows-only sim_lsh_topk / sim_ivf_topk (their oracled *_recall twins
-    stay)."""
-    return {
-        # --- never-yet-green in a CORRECTNESS file + round-4 new ---------
+
+    Round-5 rotation (per the round-4 verdict): the two NEW incremental-
+    maintenance rows plus four of the round-4-retired rows lead; six rows
+    that have been driver-green in every round they appeared (r1-r4) rotate
+    OUT this round — anti_customers_without_orders, window_degree_top_users,
+    ist_display_events, text_token_stats, text_fingerprint, dedup_simhash —
+    so every operator family re-earns a driver-green row at least every
+    other round. Every rotated-out query keeps its q_ function AND its
+    oracle and stays continuously checked via queries_all() (run by
+    tools/verify_entry.py in CI)."""
+    reg = {
+        # --- round-5 new + rotated-back-in -------------------------------
+        "kg_fact_diff": q_kg_fact_diff,
+        "kg_impact_radius": q_kg_impact_radius,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "agg_rollup_events": q_agg_rollup_events,
+        "chat_participations": q_chat_participations,
+        "semi_suppliers_with_recent_shipments": q_semi_suppliers_with_recent_shipments,
+        # --- first green in r4 (second consecutive check) ----------------
         "corpus_stats_by_source": q_corpus_stats_by_source,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_pack_sequences": q_corpus_pack_sequences,
@@ -1111,22 +1251,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "join_top_brands_by_revenue": q_join_top_brands_by_revenue,
-        "anti_customers_without_orders": q_anti_customers_without_orders,
         "window_top_order_per_customer": q_window_top_order_per_customer,
-        "window_degree_top_users": q_window_degree_top_users,
         "agg_event_type_daily": q_agg_event_type_daily,
         "recency_weighted_events": q_recency_weighted_events,
-        "ist_display_events": q_ist_display_events,
         "graph_one_hop_orders": q_graph_one_hop_orders,
         "join_asof_last_signup": q_join_asof_last_signup,
         "join_range_after_purchase": q_join_range_after_purchase,
         "agg_hypertable_rollup": q_agg_hypertable_rollup,
         "events_sessionize": q_events_sessionize,
         # --- text analysis (DuckDB-oracled) ------------------------------
-        "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
-        "text_fingerprint": q_text_fingerprint,
         "text_pii_redacted": q_text_pii_redacted,
         "text_repetition_stats": q_text_repetition_stats,
         "text_unigram_logprob": q_text_unigram_logprob,
@@ -1135,7 +1270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_near": q_dedup_embedding_near,
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
         # --- similarity search -------------------------------------------
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_recall": q_sim_lsh_recall,
@@ -1149,6 +1283,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- corpus management -------------------------------------------
         "corpus_stratified_sample": q_corpus_stratified_sample,
     }
+    assert len(reg) == 50, len(reg)
+    return {n: _wrap_conf(n, f) for n, f in reg.items()}
+
+
+def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The FULL registry — the 50-slot driver window plus every rotated-out
+    query (all keep their oracles). tools/verify_entry.py checks this set,
+    so rotation out of the driver window never drops a query from
+    continuous verification (round-4 advice)."""
+    extra = {
+        "anti_customers_without_orders": q_anti_customers_without_orders,
+        "window_degree_top_users": q_window_degree_top_users,
+        "ist_display_events": q_ist_display_events,
+        "text_token_stats": q_text_token_stats,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_simhash": q_dedup_simhash,
+        "text_quality_filter": q_text_quality_filter,
+        "corpus_sample": q_corpus_sample,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
+    }
+    out = queries()
+    out.update({n: _wrap_conf(n, f) for n, f in extra.items()})
+    return out
 
 
 _LANG_SCORE_SQL = """
@@ -1307,6 +1465,31 @@ def _expected_kg_dir() -> str:
          "previous_fact_id", "subject_display", "object_display", "display_text"],
         "insight",
     )
+    # incremental-maintenance replay: same store/batch split as _synth_split
+    from sage_spark.kernel.expected import expected_fact_diff, expected_impact_radius
+
+    store_claims = [c for c in claims if c["doc_id"][0] in "01234567"]
+    batch_claims = [c for c in claims if c["doc_id"][0] not in "01234567"]
+    store_facts, _ = expected_facts_and_edges(store_claims, seen_at=RUN_TS)
+    diff = expected_fact_diff(batch_claims, store_facts)
+    dump(diff, ["claim_id", "doc_id", "canonical_key", "change", "existing_fact_id"], "fact_diff")
+    flagged = {r["claim_id"] for r in diff if r["change"] in ("contradicted", "added")}
+    seeds = sorted(
+        {
+            eid
+            for c in batch_claims
+            if c["claim_id"] in flagged
+            for eid in (c.get("subject_entity_id"), c.get("object_entity_id"))
+            if eid
+        }
+    )
+    ir_edges = [
+        (c["subject_entity_id"], c["object_entity_id"])
+        for c in store_claims
+        if c.get("subject_entity_id") and c.get("object_entity_id")
+    ]
+    impact = expected_impact_radius(seeds, ir_edges, max_depth=2)
+    dump(impact, ["entity_id", "depth"], "impact_radius")
     (stage / "_DONE").touch()
     try:
         _os.rename(stage, out)
@@ -1375,6 +1558,32 @@ def _expected_docs_dir() -> str:
     pd.DataFrame(ivf_rows, columns=["corpus_key", "vec_id", "similarity"]).to_parquet(
         stage / "ivf_topk.parquet", index=False
     )
+    # multimodal: expected dims come from the payload-construction FORMULA
+    # (independent of the header parser under test); sha is the pure hash of
+    # the shared payload rule. doc_id < 100 exists in every driver corpus,
+    # so one parquet serves all sf dirs.
+    import hashlib as _hashlib
+
+    from sage_spark.datagen import synth_media_payload
+
+    mm_rows = []
+    for i in range(100):
+        data = synth_media_payload(i)
+        mm_rows.append(
+            {
+                "media_id": f"img-{i:03d}",
+                "content_sha256": _hashlib.sha256(data).hexdigest(),
+                "fmt": "png" if i % 2 == 0 else "gif",
+                "width": 1 + (i * 7) % 64,
+                "height": 1 + (i * 11) % 64,
+                "bit_depth": 8,
+                "n_channels": 3,
+            }
+        )
+    pd.DataFrame(
+        mm_rows,
+        columns=["media_id", "content_sha256", "fmt", "width", "height", "bit_depth", "n_channels"],
+    ).to_parquet(stage / "multimodal.parquet", index=False)
     (stage / "_DONE").touch()
     try:
         _os.rename(stage, out)
@@ -1486,6 +1695,14 @@ def oracle_sql() -> dict[str, str]:
             FROM '{kg}/insight.parquet' ORDER BY claim_id, fact_id, previous_fact_id
         """,
         "graph_pagerank": f"SELECT v, rank FROM '{kg}/pagerank.parquet' ORDER BY v",
+        "kg_fact_diff": f"""
+            SELECT claim_id, doc_id, canonical_key, change, existing_fact_id
+            FROM '{kg}/fact_diff.parquet' ORDER BY claim_id, doc_id, canonical_key
+        """,
+        "kg_impact_radius": f"""
+            SELECT entity_id, CAST(depth AS BIGINT) AS depth
+            FROM '{kg}/impact_radius.parquet' ORDER BY entity_id
+        """,
         "chat_participations": f"""
             SELECT person_id, conversation_id
             FROM '{kg}/chat_participations.parquet' ORDER BY person_id, conversation_id
@@ -1668,12 +1885,13 @@ def oracle_sql() -> dict[str, str]:
             FROM '{_expected_docs_dir()}/ivf_topk.parquet' e JOIN n ON e.corpus_key = n.c
             ORDER BY e.similarity DESC, e.vec_id
         """,
-        "multimodal_image_features": """
-            SELECT 'img-' || CAST(doc_id AS VARCHAR) AS media_id,
-                   sha256(text) AS content_sha256,
-                   64 + (('0x' || substr(sha256(text), 1, 2))::INT % 192) AS width,
-                   64 + (('0x' || substr(sha256(text), 3, 2))::INT % 192) AS height
-            FROM documents WHERE doc_id < 100 ORDER BY media_id
+        "multimodal_image_features": f"""
+            SELECT media_id, content_sha256, fmt,
+                   CAST(width AS BIGINT) AS width,
+                   CAST(height AS BIGINT) AS height,
+                   CAST(bit_depth AS BIGINT) AS bit_depth,
+                   CAST(n_channels AS BIGINT) AS n_channels
+            FROM '{_expected_docs_dir()}/multimodal.parquet' ORDER BY media_id
         """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

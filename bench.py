@@ -158,6 +158,10 @@ def run_kg_bench(spark, n_docs: int) -> dict:
     from sage_spark.operators.canonicalize import canonicalize_claims, split_facts
     from sage_spark.operators.extraction import extract_claims_stage, extract_documents
 
+    # the contract queries run tiny synthetic frames at reduced shuffle
+    # partitions (__spark_entry__._set_shuffle); this 12k-doc run wants the
+    # session's full parallelism back
+    spark.conf.set("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism))
     webtext, persons_df = synth_webtext(spark, n_docs, n_persons=200, seed=7)
     webtext = webtext.localCheckpoint(eager=True)  # materialize input; time the engine, not the generator
     persons = [r.asDict() for r in persons_df.collect()]
@@ -310,15 +314,13 @@ def main() -> None:
         if scaling and "best_pair_efficiency" in scaling:
             out["scaling_efficiency"] = scaling["best_pair_efficiency"]
             out["scaling_efficiency_vs_ceiling"] = scaling["efficiency_vs_ceiling"]
+            # docs_per_sec stays the IN-SESSION kg measurement (comparable
+            # across rounds and to the window control); the scaling legs'
+            # best rate — a different config (fresh local[16] JVM, 100k
+            # docs) — is reported separately, never folded into the headline
+            # (round-4 advice: the max() of heterogeneous setups was
+            # inflated by construction)
             out["docs_per_sec_amortized"] = scaling["amortized_docs_per_sec_high"]
-            # the scaling legs run the identical triple-extraction pipeline
-            # (100k docs, fresh JVM); those runs are already paid for, so
-            # the throughput record keeps the best window observed across
-            # ALL legs — the in-session number stays in docs_per_sec_kg_window
-            out["docs_per_sec_kg_window"] = out["docs_per_sec"]
-            out["docs_per_sec"] = round(
-                max(out["docs_per_sec"], scaling["amortized_docs_per_sec_high"]), 1
-            )
         real_stdout.write(json.dumps(out) + "\n")
         real_stdout.flush()
     real_stdout.close()

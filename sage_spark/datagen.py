@@ -218,3 +218,54 @@ def synth_webtext(
 
 def build_groups(n_groups: int = 8) -> list[dict]:
     return [{"id": f"grp{i + 1:03d}", "name": f"Team {i + 1}"} for i in range(n_groups)]
+
+
+def synth_png_bytes(width: int, height: int, seed: int = 0) -> bytes:
+    """A structurally valid 8-bit RGB PNG (signature + IHDR + IDAT + IEND,
+    correct CRCs, zlib-compressed scanlines), pure stdlib — deterministic
+    test payloads for the real container-header decode path
+    (operators/multimodal.parse_image_header)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = bytes([seed % 256]) * (3 * width)
+    raw = b"".join(b"\x00" + row for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_gif_bytes(width: int, height: int, seed: int = 0) -> bytes:
+    """A structurally valid GIF89a (logical screen descriptor with a 2-entry
+    global color table, one image block with minimal LZW data, trailer)."""
+    import struct
+
+    lsd = struct.pack("<HHBBB", width, height, 0xF0, seed % 2, 0)  # GCT, 2 colors
+    gct = bytes([seed % 256] * 3) + bytes([(255 - seed) % 256] * 3)
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    # minimal LZW: min code size 2, one sub-block: clear(100) + end(101)
+    lzw = b"\x02\x02\x44\x01\x00"
+    return b"GIF89a" + lsd + gct + img_desc + lzw + b"\x3b"
+
+
+def synth_media_payload(doc_id: int) -> bytes:
+    """Deterministic media payload for the multimodal contract row: even
+    doc_ids get a real PNG, odd ones a real GIF, dimensions derived from the
+    id — one rule shared by the Spark query and its serial-replay oracle."""
+    width = 1 + (doc_id * 7) % 64
+    height = 1 + (doc_id * 11) % 64
+    if doc_id % 2 == 0:
+        return synth_png_bytes(width, height, doc_id)
+    return synth_gif_bytes(width, height, doc_id)

@@ -528,3 +528,69 @@ def expected_facts_with_evidence(
         for f in facts
         if f.get("status") == "current"
     ]
+
+
+def expected_fact_diff(
+    new_claims: list[dict[str, Any]], current_facts: list[dict[str, Any]]
+) -> list[dict[str, Any]]:
+    """Serial replay of operators/incremental.fact_diff: nested loop over
+    each promotable new claim vs the key's current facts (the shape of the
+    reference's compute_diff, under_development/saia.py:117-146)."""
+    from .claims import promotable
+    from .facts import facts_equal
+
+    by_key: dict[str, list[dict[str, Any]]] = {}
+    for f in current_facts:
+        if f.get("status") == "current":
+            by_key.setdefault(f["canonical_key"], []).append(f)
+    out: list[dict[str, Any]] = []
+    for c in new_claims:
+        if not promotable(c):
+            continue
+        live = by_key.get(c["canonical_key"], [])
+        matched = sorted(f["fact_id"] for f in live if facts_equal(f, c))
+        if not live:
+            change, existing = "added", None
+        elif matched:
+            change, existing = "confirmed", matched[0]
+        else:
+            change, existing = "contradicted", min(f["fact_id"] for f in live)
+        out.append(
+            {
+                "claim_id": c["claim_id"],
+                "doc_id": c["doc_id"],
+                "canonical_key": c["canonical_key"],
+                "change": change,
+                "existing_fact_id": existing,
+            }
+        )
+    # the operator groups by (claim_id, doc_id, canonical_key): collapse
+    # exact duplicate claim rows the same way
+    seen: dict[tuple, dict[str, Any]] = {}
+    for r in out:
+        seen[(r["claim_id"], r["doc_id"], r["canonical_key"])] = r
+    return sorted(seen.values(), key=lambda r: (r["claim_id"], r["doc_id"], r["canonical_key"]))
+
+
+def expected_impact_radius(
+    seeds: list[str], edges: list[tuple[str, str]], *, max_depth: int = 2
+) -> list[dict[str, Any]]:
+    """Serial BFS replay of operators/incremental.impact_radius: min-hop
+    depth over the undirected, self-loop-free edge set."""
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        if a is None or b is None or a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    depth: dict[str, int] = {s: 0 for s in set(seeds)}
+    frontier = set(depth)
+    for d in range(1, max_depth + 1):
+        nxt = set()
+        for v in frontier:
+            for w in adj.get(v, ()):
+                if w not in depth:
+                    depth[w] = d
+                    nxt.add(w)
+        frontier = nxt
+    return [{"entity_id": v, "depth": d} for v, d in sorted(depth.items())]

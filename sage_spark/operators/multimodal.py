@@ -2,10 +2,13 @@
 with typed metadata.
 
 The Spark-side machinery (schemas, Arrow batch shapes, mapInPandas
-signatures, partition sizing) is real and tested; the actual media decoders
-are stubbed because the image/audio libraries are not in this container —
-each stub either raises NotImplementedError (strict mode) or produces a
-deterministic fake (test mode), clearly marked.
+signatures, partition sizing) is real and tested. Container-header decode
+(PNG / GIF / JPEG / BMP dimensions, bit depth, channel count) is REAL and
+pure-stdlib (``struct`` over the header bytes — no Pillow needed);
+pixel-level decode and learned embeddings remain environment-gated stubs
+(Pillow/cv2 absent in this container): unrecognized payloads raise
+NotImplementedError in strict mode or produce a clearly-marked
+deterministic fake otherwise.
 
 Design notes for 100 TB of media:
 * binary payloads ride in their own column so column pruning skips them
@@ -42,8 +45,10 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),
         T.StructField("content_sha256", T.StringType(), False),
+        T.StructField("fmt", T.StringType(), True),  # png|gif|jpeg|bmp|unknown
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
         T.StructField("n_channels", T.IntegerType(), True),
         T.StructField("embedding", T.ArrayType(T.FloatType()), True),
     ]
@@ -59,19 +64,69 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 )
 
 
-def _decode_image_stub(payload: bytes, strict: bool) -> tuple[int, int, int]:
-    """STUB: real path uses Pillow/cv2 (absent here). Deterministic fake
-    derives plausible dimensions from the content hash so the plumbing is
-    testable end-to-end."""
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG start-of-frame markers carrying dimensions (C4/C8/CC are not SOFs)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(data: bytes) -> tuple[str, int, int, int, int] | None:
+    """Real container-header parse, pure stdlib: returns (fmt, width,
+    height, bit_depth, n_channels) for PNG / GIF / JPEG / BMP payloads,
+    None when the bytes are not a recognized container. Reads only the
+    fixed-offset header fields — no pixel decode, no image library."""
+    import struct
+
+    if len(data) >= 26 and data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+        width, height = struct.unpack(">II", data[16:24])
+        bit_depth, color_type = data[24], data[25]
+        return ("png", width, height, bit_depth, _PNG_CHANNELS.get(color_type, 0))
+    if len(data) >= 11 and data[:6] in (b"GIF87a", b"GIF89a"):
+        width, height = struct.unpack("<HH", data[6:10])
+        packed = data[10]
+        bit_depth = ((packed >> 4) & 0x07) + 1  # color-resolution field
+        return ("gif", width, height, bit_depth, 3)
+    if len(data) >= 4 and data[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 9 < len(data):
+            if data[pos] != 0xFF:
+                break
+            marker = data[pos + 1]
+            if marker in _JPEG_SOF:
+                bit_depth = data[pos + 4]
+                height, width = struct.unpack(">HH", data[pos + 5 : pos + 9])
+                return ("jpeg", width, height, bit_depth, data[pos + 9])
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+                pos += 2
+                continue
+            (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            pos += 2 + seg_len
+        return None
+    if len(data) >= 30 and data[:2] == b"BM":
+        width, height = struct.unpack("<ii", data[18:26])
+        (bpp,) = struct.unpack("<H", data[28:30])
+        return ("bmp", width, abs(height), bpp, max(1, bpp // 8))
+    return None
+
+
+def _decode_image(payload: bytes, strict: bool) -> tuple[str, int, int, int, int]:
+    """Header decode with an environment-gated fallback: recognized
+    containers parse for real (parse_image_header); anything else is where
+    the pixel-level path (Pillow/cv2, absent here) would take over — strict
+    mode raises, test mode derives a clearly-fake deterministic shape from
+    the content hash so the plumbing stays testable end-to-end."""
+    parsed = parse_image_header(payload or b"")
+    if parsed is not None:
+        return parsed
     if strict:
         raise NotImplementedError(
-            "image decode requires Pillow/opencv, not installed in this "
-            "container; deploy with the media extras to enable"
+            "payload is not a PNG/GIF/JPEG/BMP container; pixel-level decode "
+            "requires Pillow/opencv, not installed in this container — deploy "
+            "with the media extras to enable"
         )
     digest = hashlib.sha256(payload or b"").digest()
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
-    return width, height, 3
+    return ("unknown", width, height, 8, 3)
 
 
 def extract_image_features(media: DataFrame, *, strict: bool = False, embed_dim: int = 16) -> DataFrame:
@@ -85,7 +140,7 @@ def extract_image_features(media: DataFrame, *, strict: bool = False, embed_dim:
             rows = []
             for media_id, payload in zip(batch["media_id"], batch["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                width, height, channels = _decode_image_stub(data, strict)
+                fmt, width, height, bit_depth, channels = _decode_image(data, strict)
                 digest = hashlib.sha256(data).digest()
                 rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
                 vec = rng.standard_normal(embed_dim)
@@ -94,8 +149,10 @@ def extract_image_features(media: DataFrame, *, strict: bool = False, embed_dim:
                     {
                         "media_id": media_id,
                         "content_sha256": hashlib.sha256(data).hexdigest(),
+                        "fmt": fmt,
                         "width": width,
                         "height": height,
+                        "bit_depth": bit_depth,
                         "n_channels": channels,
                         "embedding": vec.tolist(),
                     }

@@ -26,6 +26,7 @@ half-written table.
 
 from __future__ import annotations
 
+import json
 import shutil
 from pathlib import Path
 
@@ -33,6 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
 BUCKET_COL = "__bucket"
+LAYOUT_FILE = "_LAYOUT.json"
 
 
 class TableStore:
@@ -45,7 +47,86 @@ class TableStore:
         return self.root / table
 
     def exists(self, table: str) -> bool:
+        self._recover(table)
         return self.path(table).exists()
+
+    # -- crash recovery ----------------------------------------------------
+    def _recover(self, table: str) -> None:
+        """Heal the two-step swap windows (overwrite/compact rename the old
+        table aside before publishing the new one). If a crash left the
+        table path absent, restore it from, in order of preference:
+
+        * ``.__old__`` — the pre-swap table, always complete by construction;
+        * a COMPLETE staged dir (``.__tmp__``/``.__compact__`` carrying
+          Spark's ``_SUCCESS`` marker) — the post-swap content.
+
+        Without this, a killed compaction made ``read`` silently return an
+        empty table and a later upsert recreated it fresh — permanent data
+        loss with no error (round-4 advice, store.py compact window)."""
+        target = self.path(table)
+        if target.exists():
+            return
+        aside = target.with_name(target.name + ".__old__")
+        if aside.exists():
+            aside.rename(target)
+            return
+        for suffix in (".__compact__", ".__tmp__"):
+            staged = target.with_name(target.name + suffix)
+            if staged.exists() and (staged / "_SUCCESS").exists():
+                staged.rename(target)
+                return
+
+    def _swap_in(self, tmp: Path, target: Path) -> None:
+        """Publish ``tmp`` as ``target`` without a window where the table
+        path is absent-and-unrecoverable: rename the old table aside, then
+        the new one into place, then drop the aside. A crash at any point
+        leaves either the target or a recoverable aside/staged dir for
+        ``_recover``."""
+        aside = target.with_name(target.name + ".__old__")
+        if aside.exists():  # stale from an earlier crash; target exists, so it lost
+            shutil.rmtree(aside)
+        if target.exists():
+            target.rename(aside)
+        tmp.rename(target)
+        if aside.exists():
+            shutil.rmtree(aside)
+
+    # -- layout metadata ---------------------------------------------------
+    def _write_layout(self, target: Path, layout_keys: list[str]) -> None:
+        (target / LAYOUT_FILE).write_text(
+            json.dumps({"version": 1, "buckets": self.buckets, "layout_keys": layout_keys})
+        )
+
+    def _read_layout(self, table: str) -> dict | None:
+        p = self.path(table) / LAYOUT_FILE
+        if not p.exists():
+            return None
+        return json.loads(p.read_text())
+
+    def _check_layout(self, table: str, layout_keys: list[str]) -> None:
+        """Bucketed dirs are only prunable if reader and writer agree on the
+        hash inputs; a silent mismatch (e.g. a pre-``batch_seq`` index laid
+        out by (doc_id, band) probed by (band, bucket)) reads the WRONG dirs
+        and misses rows with no error. Fail loudly instead."""
+        rec = self._read_layout(table)
+        if rec is None:
+            raise ValueError(
+                f"bucketed table {table!r} has no {LAYOUT_FILE}: it predates layout "
+                "versioning (or was written externally); rebuild it or record its "
+                "layout with adopt_layout() before upserting/probing"
+            )
+        if rec["buckets"] != self.buckets or rec["layout_keys"] != layout_keys:
+            raise ValueError(
+                f"bucketed table {table!r} layout mismatch: stored "
+                f"(buckets={rec['buckets']}, keys={rec['layout_keys']}) vs requested "
+                f"(buckets={self.buckets}, keys={layout_keys}); pruned reads against "
+                "a differently-hashed layout would silently miss rows"
+            )
+
+    def adopt_layout(self, table: str, layout_keys: list[str]) -> None:
+        """Explicit migration for tables written before layout versioning:
+        records the layout the caller asserts the dirs were hashed by."""
+        self._write_layout(self.path(table), layout_keys)
 
     def read(self, spark: SparkSession, table: str, schema: StructType | None = None) -> DataFrame:
         if not self.exists(table):
@@ -58,14 +139,13 @@ class TableStore:
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
     def overwrite(self, df: DataFrame, table: str) -> None:
+        self._recover(table)
         target = self.path(table)
         tmp = target.with_name(target.name + ".__tmp__")
         if tmp.exists():
             shutil.rmtree(tmp)
         df.write.mode("overwrite").parquet(str(tmp))
-        if target.exists():
-            shutil.rmtree(target)
-        tmp.rename(target)
+        self._swap_in(tmp, target)
 
     def append(self, df: DataFrame, table: str) -> None:
         df.write.mode("append").parquet(str(self.path(table)))
@@ -111,6 +191,7 @@ class TableStore:
         # upstream must not emit rows into a bucket absent from `touched`,
         # or dynamic overwrite would drop that bucket's pre-existing rows
         updates = updates.localCheckpoint(eager=True)
+        self._recover(table)
         target = self.path(table)
         if not target.exists():
             tmp = target.with_name(target.name + ".__tmp__")
@@ -118,7 +199,9 @@ class TableStore:
                 shutil.rmtree(tmp)
             updates.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(str(tmp))
             tmp.rename(target)
+            self._write_layout(target, layout_keys or keys)
             return
+        self._check_layout(table, layout_keys or keys)
         # the touched-bucket list is a bounded scalar set (<= self.buckets),
         # never data-sized
         touched = sorted(r[0] for r in updates.select(BUCKET_COL).distinct().collect())
@@ -150,11 +233,17 @@ class TableStore:
         by ``self.buckets`` — a scalar list, never data-sized — and the scan
         prunes to those ``__bucket=K/`` dirs, the read-side twin of the
         upsert's touched-bucket pruning. Falls back to a full read for
-        legacy (unbucketed) layouts.
+        legacy (unbucketed) layouts, and REFUSES to prune a bucketed table
+        whose recorded layout differs from the probe's (a mismatched hash
+        would silently read the wrong dirs and miss rows). When ``schema``
+        is given the result is reconciled to it — missing columns (a table
+        written before a schema evolution, e.g. pre-``batch_seq`` index
+        rows) surface as typed nulls instead of an AnalysisException.
         """
         if self.buckets is None or not self.exists(table):
-            return self.read(spark, table, schema)
+            return _reconcile(self.read(spark, table, schema), schema)
         keys = layout_keys or layout_values.columns
+        self._check_layout(table, keys)
         touched = sorted(
             r[0]
             for r in layout_values.select(self._bucket_expr(keys).alias(BUCKET_COL))
@@ -162,7 +251,8 @@ class TableStore:
             .collect()
         )
         df = spark.read.parquet(str(self.path(table))).filter(F.col(BUCKET_COL).isin(touched))
-        return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+        df = df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+        return _reconcile(df, schema)
 
     def compact(self, spark: SparkSession, table: str) -> None:
         """Maintenance rewrite (Iceberg's rewrite_data_files analog): every
@@ -170,8 +260,11 @@ class TableStore:
         long-running ingest accumulates many small files per dir and scan
         cost creeps up. Compaction rewrites the table so each bucket dir
         holds one file (rows and bucket assignment unchanged), via a temp
-        dir + atomic rename so a killed compaction never corrupts the table.
+        dir + rename-aside swap so a killed compaction never corrupts the
+        table: the old table is renamed aside before the new one lands and
+        ``_recover`` restores whichever complete copy survives a crash.
         Unbucketed tables collapse to a single file."""
+        self._recover(table)
         target = self.path(table)
         if not target.exists():
             return
@@ -179,6 +272,7 @@ class TableStore:
         tmp = target.with_name(target.name + ".__compact__")
         if tmp.exists():
             shutil.rmtree(tmp)
+        layout = self._read_layout(table)
         if self.buckets is not None and BUCKET_COL in df.columns:
             # hash-repartition ON the bucket value: each task owns whole
             # buckets, so every dir is written by exactly one task -> one file
@@ -190,13 +284,32 @@ class TableStore:
             )
         else:
             df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
-        shutil.rmtree(target)
-        tmp.rename(target)
+        if layout is not None:  # layout record rides along through the rewrite
+            (tmp / LAYOUT_FILE).write_text(json.dumps(layout))
+        self._swap_in(tmp, target)
 
     def drop(self, table: str) -> None:
         target = self.path(table)
-        if target.exists():
-            shutil.rmtree(target)
+        for p in (
+            target,
+            target.with_name(target.name + ".__old__"),
+            target.with_name(target.name + ".__tmp__"),
+            target.with_name(target.name + ".__compact__"),
+        ):
+            if p.exists():
+                shutil.rmtree(p)
+
+
+def _reconcile(df: DataFrame, schema: StructType | None) -> DataFrame:
+    """Project ``df`` onto ``schema``: missing columns become typed nulls,
+    extra columns are dropped. No-op when no schema is requested."""
+    if schema is None:
+        return df
+    cols = [
+        F.col(f.name).cast(f.dataType) if f.name in df.columns else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ]
+    return df.select(cols)
 
 
 def dedupe_latest(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:

@@ -280,20 +280,58 @@ def test_link_mentions_lsh_fuzzy(spark):
 
 
 def test_multimodal_plumbing(spark):
+    from sage_spark.datagen import synth_gif_bytes, synth_png_bytes
+
     media = spark.createDataFrame(
         [
             ("img-1", "d1", "image", "image/png", b"fakepng", None),
-            ("vid-1", "d2", "video", "video/mp4", b"fakevid", None),
+            ("img-2", "d2", "image", "image/png", synth_png_bytes(40, 30, 2), None),
+            ("img-3", "d3", "image", "image/gif", synth_gif_bytes(17, 9, 3), None),
+            ("vid-1", "d4", "video", "video/mp4", b"fakevid", None),
         ],
         MEDIA_SCHEMA,
     )
-    feats = extract_image_features(media).collect()
-    assert len(feats) == 1 and feats[0]["media_id"] == "img-1"
-    assert feats[0]["width"] > 0 and len(feats[0]["embedding"]) == 16
+    feats = {r["media_id"]: r.asDict() for r in extract_image_features(media).collect()}
+    assert set(feats) == {"img-1", "img-2", "img-3"}
+    # unrecognized bytes fall back to the clearly-marked deterministic fake
+    assert feats["img-1"]["fmt"] == "unknown" and feats["img-1"]["width"] > 0
+    # real containers parse for real (pure-stdlib header decode, no Pillow)
+    assert (feats["img-2"]["fmt"], feats["img-2"]["width"], feats["img-2"]["height"]) == ("png", 40, 30)
+    assert feats["img-2"]["bit_depth"] == 8 and feats["img-2"]["n_channels"] == 3
+    assert (feats["img-3"]["fmt"], feats["img-3"]["width"], feats["img-3"]["height"]) == ("gif", 17, 9)
+    assert len(feats["img-2"]["embedding"]) == 16
     frames = sample_video_frames(media).collect()
     assert frames and all(f["media_id"] == "vid-1" for f in frames)
+    # strict mode: real containers still decode; unrecognized bytes raise
+    ok = media.filter("media_id in ('img-2', 'img-3')")
+    assert len(extract_image_features(ok, strict=True).collect()) == 2
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         extract_image_features(media, strict=True).collect()
+
+
+def test_parse_image_header_formats_and_malformed():
+    """Pure-function coverage for the stdlib header parser: PNG/GIF/JPEG/BMP
+    plus malformed/truncated payloads."""
+    import struct
+
+    from sage_spark.datagen import synth_gif_bytes, synth_png_bytes
+    from sage_spark.operators.multimodal import parse_image_header
+
+    assert parse_image_header(synth_png_bytes(640, 480, 1)) == ("png", 640, 480, 8, 3)
+    assert parse_image_header(synth_gif_bytes(320, 200, 1)) == ("gif", 320, 200, 8, 3)
+    # minimal JPEG: SOI + APP0 stub + SOF0 (8-bit, 12x34, 3 channels)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+        + b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 34, 12) + bytes([3, 1, 0x11, 0])
+    )
+    assert parse_image_header(jpeg) == ("jpeg", 12, 34, 8, 3)
+    # minimal BMP header: 24bpp 10x20 (height may be negative = top-down)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 10, -20) + b"\x00\x00" + struct.pack("<H", 24) + b"\x00" * 8
+    assert parse_image_header(bmp) == ("bmp", 10, 20, 24, 3)
+    # malformed payloads never raise; they return None
+    for bad in (b"", b"fak", b"\x89PNG\r\n\x1a\nXX", b"GIF89a\x01", b"\xff\xd8\xff", b"BM\x00"):
+        assert parse_image_header(bad) is None
 
 
 def test_xxhash64_matches_spark_bit_exactly(spark):

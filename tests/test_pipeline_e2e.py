@@ -441,6 +441,79 @@ def test_bucketed_store_compaction(spark, tmp_path):
     assert flat.read(spark, "t").count() == 3
 
 
+def test_store_crash_recovery_and_layout_versioning(spark, tmp_path):
+    """The round-4 advice items on store.py: (a) a crash inside the
+    compact/overwrite swap must never lose the table — whichever complete
+    copy survives (the aside-renamed old table or a _SUCCESS-marked staged
+    dir) is restored on the next access; (b) pruned reads against a table
+    whose recorded bucket layout differs from the probe's must fail loudly,
+    not silently read the wrong dirs; (c) read_pruned(schema=...) reconciles
+    a pre-schema-evolution table to the requested schema as typed nulls."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F, types as T
+
+    from sage_spark.store import TableStore
+
+    store = TableStore(tmp_path / "rstore", buckets=4)
+    rows = [(f"id{i}", i) for i in range(50)]
+    store.upsert(spark.createDataFrame(rows, "k string, v int"), "t", ["k"])
+    expect = sorted(map(tuple, store.read(spark, "t").collect()))
+    root = tmp_path / "rstore"
+
+    # crash window 1: old table renamed aside, new one not yet in place
+    (root / "t").rename(root / "t.__old__")
+    assert sorted(map(tuple, store.read(spark, "t").collect())) == expect
+    assert (root / "t").exists() and not (root / "t.__old__").exists()
+
+    # crash window 2: target gone, a COMPLETE compacted copy staged
+    (root / "t").rename(root / "t.__compact__")
+    assert (root / "t.__compact__" / "_SUCCESS").exists()
+    assert sorted(map(tuple, store.read(spark, "t").collect())) == expect
+
+    # an INCOMPLETE staged dir (no _SUCCESS) must NOT be adopted
+    (root / "t").rename(root / "t.__tmp__")
+    (root / "t.__tmp__" / "_SUCCESS").unlink()
+    schema = T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.IntegerType())])
+    assert store.read(spark, "t", schema).count() == 0
+    shutil.rmtree(root / "t.__tmp__")
+
+    # layout versioning: mismatched probe keys refuse to prune
+    store.upsert(
+        spark.createDataFrame(rows, "k string, v int"), "u", ["k"], layout_keys=["v"]
+    )
+    probe = spark.createDataFrame([("id1", 1)], "k string, v int")
+    pruned = store.read_pruned(spark, "u", probe.select("v"), layout_keys=["v"])
+    assert pruned.count() >= 1
+    with pytest.raises(ValueError, match="layout mismatch"):
+        store.read_pruned(spark, "u", probe.select("k"), layout_keys=["k"])
+    with pytest.raises(ValueError, match="layout mismatch"):
+        store.upsert(probe, "u", ["k"])  # default layout (k) != recorded (v)
+    # a pre-versioning table (no _LAYOUT.json) fails loudly until adopted
+    (root / "u" / "_LAYOUT.json").unlink()
+    with pytest.raises(ValueError, match="predates layout versioning"):
+        store.read_pruned(spark, "u", probe.select("v"), layout_keys=["v"])
+    store.adopt_layout("u", ["v"])
+    assert store.read_pruned(spark, "u", probe.select("v"), layout_keys=["v"]).count() >= 1
+    # compaction preserves the layout record and subsequent pruning
+    store.compact(spark, "u")
+    assert store.read_pruned(spark, "u", probe.select("v"), layout_keys=["v"]).count() >= 1
+
+    # schema reconcile: a table written before a column existed reads back
+    # with the new column as typed nulls on the pruned path
+    wider = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("batch_seq", T.LongType()),
+        ]
+    )
+    rec = store.read_pruned(spark, "u", probe.select("v"), wider, layout_keys=["v"])
+    assert rec.columns == ["k", "v", "batch_seq"]
+    assert rec.filter(F.col("batch_seq").isNull()).count() == rec.count() > 0
+
+
 def test_pipeline_resume_noop_with_bucketed_store(spark, tmp_path):
     """The resume contract must hold on the bucketed layout: a second run
     over the same corpus changes no counts and records zero conflicts."""
