@@ -172,14 +172,69 @@ def run_kg_bench(spark, n_docs: int) -> dict:
     # serializes poorly at high core counts (measured 3-5x), while separated
     # stages scale linearly.
     docs = extract_documents(webtext, lang_filter="en").localCheckpoint(eager=True)
+    t1 = time.perf_counter()
     claims = extract_claims_stage(
         docs, persons, build_groups(), run_ts="2026-05-01T00:00:00+00:00"
     ).localCheckpoint(eager=True)
+    t2 = time.perf_counter()
     union = canonicalize_claims(claims, None, seen_at="2026-05-01T00:00:00+00:00")
     facts = split_facts(union)
     n_facts = facts.count()
-    elapsed = time.perf_counter() - t0
-    return {"kg_seconds": elapsed, "kg_docs": n_docs, "kg_facts": n_facts, "docs_per_sec": n_docs / elapsed}
+    t3 = time.perf_counter()
+    return {
+        "kg_seconds": t3 - t0,
+        "kg_docs": n_docs,
+        "kg_facts": n_facts,
+        "docs_per_sec": n_docs / (t3 - t0),
+        "stages": {
+            "extract_documents": round(t1 - t0, 3),
+            "extract_claims": round(t2 - t1, 3),
+            "canonicalize_facts": round(t3 - t2, 3),
+        },
+    }
+
+
+def run_dataprep_bench(spark, n_docs: int) -> dict:
+    """The dataprep operator chain (jobs/run_dataprep.py stages 2-6) over
+    the same synthetic webtext corpus, per-stage timed — the sf-sweep
+    evidence that separates fixed from per-row cost."""
+    from pyspark.sql import functions as F
+
+    from sage_spark.datagen import synth_webtext
+    from sage_spark.operators.dedup import exact_dedup, minhash_lsh_candidates
+    from sage_spark.operators.textstats import quality_filter, with_language_id
+
+    spark.conf.set("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism))
+    webtext, _ = synth_webtext(spark, n_docs, n_persons=200, seed=11)
+    docs = webtext.select(
+        F.col("url").alias("doc_id"), F.col("text")
+    ).localCheckpoint(eager=True)
+
+    stages: dict[str, float] = {}
+    t = time.perf_counter()
+    lang = with_language_id(docs, "text").filter(F.col("lang_pred") == "en").localCheckpoint(eager=True)
+    stages["language_id"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    qual = quality_filter(lang, "text").localCheckpoint(eager=True)
+    stages["quality"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    deduped = exact_dedup(qual, "text", "doc_id").localCheckpoint(eager=True)
+    stages["exact_dedup"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    n_pairs = minhash_lsh_candidates(
+        deduped.withColumn("doc_id", F.col("doc_id").cast("string")),
+        "text", "doc_id", shingle_len=5, num_hashes=64, bands=8,
+    ).count()
+    stages["near_dedup_candidates"] = round(time.perf_counter() - t, 3)
+    total = sum(stages.values())
+    return {
+        "docs": n_docs,
+        "survivors": deduped.count(),
+        "near_dup_pairs": n_pairs,
+        "seconds": round(total, 3),
+        "docs_per_sec": round(n_docs / total, 1),
+        "stages": stages,
+    }
 
 
 def main() -> None:
@@ -269,7 +324,7 @@ def main() -> None:
     # SAGE_BENCH_KG_ATTEMPTS) while the window control reads degraded. The
     # control of the kept run ships in the JSON so a still-bad number
     # carries its own evidence.
-    kg_attempts = int(os.environ.get("SAGE_BENCH_KG_ATTEMPTS", "4"))
+    kg_attempts = int(os.environ.get("SAGE_BENCH_KG_ATTEMPTS", "6"))
     ctl_procs = min(int(cpus), 16)
     ctl_target = float(os.environ.get("SAGE_BENCH_KG_CTL_TARGET", "0.55"))
     kg, kg_ctl = None, 0.0
@@ -281,6 +336,27 @@ def main() -> None:
         if ctl >= ctl_target and attempt >= runs_per_query - 1:
             break
     timings["kg_pipeline"] = round(kg["kg_seconds"], 3)
+
+    # sf-sweep evidence (round-4 verdict #8): the same kg pipeline and the
+    # dataprep chain once at 10x the headline corpus, per-stage timed, so
+    # fixed-vs-variable cost is measured rather than argued. The 10x run's
+    # docs/s should sit within ~2x of the headline rate if per-row cost
+    # dominates (it pays the same fixed overhead over 10x the rows).
+    sf1_block = None
+    if os.environ.get("SAGE_BENCH_SF1", "1") != "0":
+        sf1_docs = int(os.environ.get("SAGE_BENCH_SF1_DOCS", str(10 * kg_docs)))
+        kg1 = run_kg_bench(spark, sf1_docs)
+        prep1 = run_dataprep_bench(spark, sf1_docs)
+        sf1_block = {
+            "kg": {
+                "docs": kg1["kg_docs"],
+                "seconds": round(kg1["kg_seconds"], 3),
+                "docs_per_sec": round(kg1["docs_per_sec"], 1),
+                "stages": kg1["stages"],
+            },
+            "dataprep": prep1,
+            "rate_vs_headline": round(kg1["docs_per_sec"] / kg["docs_per_sec"], 3),
+        }
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -297,7 +373,10 @@ def main() -> None:
         "aggregation": "min",
         # delivered-core control of the window the kept kg run was taken in
         "kg_window_control": round(kg_ctl, 3),
+        "kg_stages": kg["stages"],
     }
+    if sf1_block is not None:
+        out["sf1"] = sf1_block
     spark.stop()
     sys.stdout.flush()
     sys.stderr.flush()

@@ -105,23 +105,124 @@ def join_pdf_pages(page_texts: list[str | None]) -> str:
     return " ".join([t for t in page_texts if t])
 
 
-def text_from_pdf(raw: bytes | bytearray | memoryview | None, *, reader_factory=None) -> str:
+def text_from_pdf(
+    raw: bytes | bytearray | memoryview | None,
+    *,
+    reader_factory=None,
+    allow_basic_fallback: bool = False,
+) -> str:
     """PDF text extraction = decode pages with pypdf (or any injected
     ``reader_factory(stream) -> obj with .pages[*].extract_text()``), then
     the join rule above. pypdf is not in this container, so the default
-    decode is gated; the Spark-side plumbing and the join rule are real."""
+    decode is gated; the Spark-side plumbing and the join rule are real.
+
+    ``allow_basic_fallback=True`` opts into the pure-stdlib extractor below
+    when pypdf is absent. It is NOT byte-identical to pypdf's layout logic
+    (the parity contract holds only on the pypdf path), so the opt-in is
+    explicit."""
     if raw is None:
         return ""
     if reader_factory is None:
         try:
             from pypdf import PdfReader as reader_factory  # noqa: PLC0415, N813
         except ImportError as exc:  # pragma: no cover - environment without pypdf
+            if allow_basic_fallback:
+                return text_from_pdf_basic(raw)
             raise NotImplementedError(
                 "PDF text extraction requires pypdf, which is not installed in "
-                "this environment; install pypdf on the executors to enable it"
+                "this environment; install pypdf on the executors to enable it "
+                "(or pass allow_basic_fallback=True for the approximate "
+                "stdlib extractor)"
             ) from exc
     reader = reader_factory(io.BytesIO(bytes(raw)))
     return join_pdf_pages([page.extract_text() for page in reader.pages])
+
+
+_PDF_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.DOTALL)
+_PDF_TEXT_BLOCK_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+# one text-showing op: a literal (..) or hex <..> string followed by
+# Tj / ' / ", or a TJ array; plus the newline-advancing positioning ops
+_PDF_SHOW_RE = re.compile(
+    rb"\((?:\\.|[^\\()])*\)\s*(?:Tj|'|\")"  # (literal) Tj
+    rb"|<[0-9A-Fa-f\s]*>\s*(?:Tj|'|\")"  # <hex> Tj
+    rb"|\[(?:\\.|[^\]])*\]\s*TJ"  # [ ... ] TJ
+    rb"|T\*|TD|Td",
+    re.DOTALL,
+)
+_PDF_STR_IN_ARRAY_RE = re.compile(rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>", re.DOTALL)
+_PDF_ESCAPE_RE = re.compile(rb"\\([nrtbf()\\]|[0-7]{1,3})")
+_PDF_ESCAPE_MAP = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_literal_bytes(token: bytes) -> bytes:
+    """Decode one PDF string token — ``(literal)`` with escapes/octals, or
+    ``<hex>`` — to raw bytes."""
+    if token.startswith(b"("):
+        body = token[1:-1]
+        return _PDF_ESCAPE_RE.sub(
+            lambda m: _PDF_ESCAPE_MAP.get(m.group(1))
+            or bytes([int(m.group(1), 8) & 0xFF]),
+            body,
+        )
+    hexbody = re.sub(rb"\s", b"", token[1:-1])
+    if len(hexbody) % 2:
+        hexbody += b"0"
+    return bytes.fromhex(hexbody.decode("ascii"))
+
+
+def text_from_pdf_basic(raw: bytes | bytearray | memoryview | None) -> str:
+    """Approximate pure-stdlib PDF text extraction: walks every content
+    stream (plain or FlateDecode via zlib), pulls the strings shown by the
+    Tj / ' / " / TJ operators inside BT..ET text blocks (literal and hex
+    forms, escape/octal decoding), and treats T*/Td/TD line advances as
+    newlines. Each content stream is one "page" for the reference's
+    space-join rule (utils.py:85-88). Handles single-byte encodings only
+    (no CMap/ToUnicode) — the explicitly-opt-in stand-in for pypdf, not a
+    parity path."""
+    if raw is None:
+        return ""
+    data = bytes(raw)
+    pages: list[str] = []
+    for m in _PDF_STREAM_RE.finditer(data):
+        params, body = m.group(1), m.group(2)
+        if body.endswith(b"\r\n"):
+            body = body[:-2]
+        elif body.endswith(b"\n") or body.endswith(b"\r"):
+            body = body[:-1]
+        if b"/FlateDecode" in params:
+            import zlib
+
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue
+        elif b"/Filter" in params:
+            continue  # unsupported filter (DCT, LZW, ...): skip the stream
+        parts: list[str] = []
+        for block in _PDF_TEXT_BLOCK_RE.finditer(body):
+            for op in _PDF_SHOW_RE.finditer(block.group(1)):
+                tok = op.group(0)
+                if tok in (b"T*", b"TD", b"Td"):
+                    if parts and not parts[-1].endswith("\n"):
+                        parts.append("\n")
+                    continue
+                if tok.rstrip().endswith(b"TJ"):
+                    arr = tok[: tok.rindex(b"]")]
+                    text = b"".join(
+                        _pdf_literal_bytes(s.group(0))
+                        for s in _PDF_STR_IN_ARRAY_RE.finditer(arr)
+                    )
+                else:
+                    str_end = max(tok.rfind(b")"), tok.rfind(b">"))
+                    text = _pdf_literal_bytes(tok[: str_end + 1])
+                parts.append(text.decode("latin-1"))
+        page = "".join(parts).strip()
+        if page:
+            pages.append(page)
+    return join_pdf_pages(pages)
 
 
 def extract_page_text(payload: bytes | None, media_type: str = "html") -> str:

@@ -8,8 +8,10 @@ at any iteration count (the same discipline as connected components,
 operators/components.py).
 
 Scale notes: ranks and degrees are (vertex, double) tables — the shuffles
-key on vertex ids only; edges can be pre-partitioned/bucketed by src to
-co-locate the per-iteration join (see operators/bucketing.py). The dangling
+key on vertex ids only. For the per-iteration ranks⋈edges join the edge
+side can be made exchange-free: feed a src-bucketed table through
+``pagerank_on_bucketed_edges`` (survives AQE; the 10^12-edge deployment
+shape) or pre-pin with ``partition_edges_by_src`` (AQE off). The dangling
 term is a single scalar per iteration (an aggregate, not a collect of data
 rows).
 
@@ -23,6 +25,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def partition_edges_by_src(e: DataFrame) -> DataFrame:
+    """Pin the edge table to HashPartitioning(src, shuffle-partitions) and
+    checkpoint it: localCheckpoint preserves the physical partitioning in
+    the LogicalRDD, so every subsequent equi-join/agg keyed on ``src``
+    satisfies its distribution requirement from the checkpoint — no
+    edge-side Exchange. CAVEAT (plan-measured): AQE's re-planning does not
+    honor LogicalRDD partitioning, so this only helps with
+    spark.sql.adaptive.enabled=false; under AQE use the bucketed-TABLE path
+    (pagerank_on_bucketed_edges), whose scan partitioning AQE does respect."""
+    n = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return e.repartition(n, "src").localCheckpoint(eager=True)
+
+
+def pagerank_on_bucketed_edges(spark, table: str, **kwargs) -> DataFrame:
+    """PageRank over an edge table persisted bucketed+sorted by ``src``
+    (operators/bucketing.write_bucketed): the bucketed scan carries
+    HashPartitioning(src) that survives AQE, so the out-degree aggregate
+    and every iteration's contribution join read the edges with ZERO
+    edge-side Exchange — only the iteration-varying rank table moves. This
+    is the deployment shape for a 10^12-edge graph: edges live bucketed
+    (Iceberg ``bucket(N, src)``), ranks re-shuffle per iteration."""
+    from .bucketing import read_bucketed
+
+    return pagerank(read_bucketed(spark, table), prepartitioned=True, **kwargs)
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -32,6 +60,7 @@ def pagerank(
     iterations: int = 20,
     tol: float | None = None,
     checkpoint_every: int = 2,
+    prepartitioned: bool = False,
 ) -> DataFrame:
     """Returns (v, rank); ranks sum to 1. Edges are de-duplicated (set
     semantics, matching the MERGE-built reference graph).
@@ -47,8 +76,17 @@ def pagerank(
     below it — the fixed-point contraction bound |r_k - r_inf|_1 <=
     delta * d/(1-d) makes that a certified convergence test. ``tol=None``
     runs exactly ``iterations`` rounds (bit-stable vs the serial oracle)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates(["src", "dst"])
-    e = e.localCheckpoint(eager=True)
+    if prepartitioned:
+        # caller provides a src-co-located, already-deduplicated edge set
+        # (e.g. a bucketed table via pagerank_on_bucketed_edges): do NOT
+        # checkpoint or re-shuffle it — that would erase the scan
+        # partitioning that makes the iteration joins exchange-free
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    else:
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates(
+            ["src", "dst"]
+        )
+        e = e.localCheckpoint(eager=True)
     verts = e.select(F.col("src").alias("v")).unionByName(e.select(F.col("dst").alias("v"))).distinct()
     verts = verts.localCheckpoint(eager=True)
     n = verts.count()

@@ -254,7 +254,7 @@ class TableStore:
         df = df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
         return _reconcile(df, schema)
 
-    def compact(self, spark: SparkSession, table: str) -> None:
+    def compact(self, spark: SparkSession, table: str, *, keep: Column | None = None) -> None:
         """Maintenance rewrite (Iceberg's rewrite_data_files analog): every
         keyed upsert appends one file-set into each touched bucket dir, so a
         long-running ingest accumulates many small files per dir and scan
@@ -263,12 +263,20 @@ class TableStore:
         dir + rename-aside swap so a killed compaction never corrupts the
         table: the old table is renamed aside before the new one lands and
         ``_recover`` restores whichever complete copy survives a crash.
-        Unbucketed tables collapse to a single file."""
+        Unbucketed tables collapse to a single file.
+
+        ``keep`` optionally filters rows during the rewrite (rows where the
+        predicate is false are dropped) — the eviction/TTL primitive for
+        unbounded state tables (e.g. the streaming LSH index, keyed by
+        ``batch_seq``); layout and bucket assignment of surviving rows are
+        unchanged, so pruned reads keep working."""
         self._recover(table)
         target = self.path(table)
         if not target.exists():
             return
         df = spark.read.parquet(str(target))
+        if keep is not None:
+            df = df.filter(keep)
         tmp = target.with_name(target.name + ".__compact__")
         if tmp.exists():
             shutil.rmtree(tmp)

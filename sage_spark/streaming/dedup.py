@@ -125,6 +125,27 @@ def process_near_dup_batch(
     store.upsert(stamped, BUCKET_TABLE, ["doc_id", "band"], layout_keys=["band", "bucket"])
 
 
+def evict_index_before(store: TableStore, spark, min_batch_seq: int) -> None:
+    """Age-based state eviction: drop bucket-index rows whose ``batch_seq``
+    predates the horizon (a compaction rewrite, TableStore.compact(keep=)).
+
+    Without eviction the LSH index grows linearly with the crawl — at
+    10^12 documents that is the state-size killer for any always-on
+    dedup stream. With a horizon of H batches the state is bounded by the
+    documents of the last H batches: a new page is then checked against the
+    trailing window rather than all history, which is the standard
+    freshness/recall trade for crawl dedup (old near-dups re-enter as
+    fresh). Eviction only ever FORGETS pairs whose older partner predates
+    the horizon — flags already written stay (the flag table is the output,
+    the index is probe state); rows at or after the horizon are untouched
+    and keep their (band, bucket) layout, so pruned probes keep working.
+    Sentinel -1 rows (callers that pass no seq) are evicted by any horizon
+    >= 0, matching their no-ordering contract."""
+    store.compact(
+        spark, BUCKET_TABLE, keep=F.col("batch_seq") >= F.lit(int(min_batch_seq))
+    )
+
+
 def start_streaming_near_dedup(
     stream: DataFrame,
     store: TableStore,

@@ -278,6 +278,55 @@ def test_pdf_page_join_rule_golden():
             text_from_pdf(b"%PDF-1.4 fake")
 
 
+def _mk_pdf(content_streams: list[bytes], *, compress: bool = True) -> bytes:
+    """Minimal structurally-valid PDF: one stream object per content stream
+    (optionally FlateDecode), enough for the basic extractor's walk."""
+    import zlib
+
+    out = [b"%PDF-1.4\n"]
+    for i, cs in enumerate(content_streams):
+        body = zlib.compress(cs) if compress else cs
+        filt = b"/Filter /FlateDecode " if compress else b""
+        out.append(
+            str(i + 1).encode() + b" 0 obj\n<< " + filt + b"/Length "
+            + str(len(body)).encode() + b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+        )
+    out.append(b"trailer\n<< >>\n%%EOF")
+    return b"".join(out)
+
+
+def test_pdf_basic_stdlib_extractor():
+    """The opt-in pure-stdlib PDF path (no pypdf): Tj / TJ-array / hex
+    strings with escape+octal decoding inside BT..ET, T*/Td line advances,
+    Flate and plain streams, unsupported filters skipped, junk-safe.
+    Explicitly NOT pypdf-parity — that contract stays on the gated path."""
+    from sage_spark.kernel.pagetext import text_from_pdf, text_from_pdf_basic
+
+    cs1 = (
+        b"BT /F1 12 Tf 72 720 Td (Hello \\(World\\) \\101\\102) Tj "
+        b"0 -14 Td [(Sec) -250 (ond line)] TJ ET"
+    )
+    cs2 = b"BT <48657820546578 74> Tj ET"
+    pdf = _mk_pdf([cs1, cs2])
+    # two content streams = two "pages" under the reference's space-join rule
+    assert text_from_pdf_basic(pdf) == "Hello (World) AB\nSecond line Hex Text"
+    assert text_from_pdf_basic(_mk_pdf([cs1], compress=False)) == "Hello (World) AB\nSecond line"
+    # the gated entry point routes here only on explicit opt-in (pypdf absent)
+    import importlib.util
+
+    if importlib.util.find_spec("pypdf") is None:
+        assert text_from_pdf(pdf, allow_basic_fallback=True) == text_from_pdf_basic(pdf)
+    # malformed inputs degrade to empty output, never raise
+    assert text_from_pdf_basic(b"not a pdf") == ""
+    assert (
+        text_from_pdf_basic(
+            b"%PDF-1.4\n1 0 obj\n<< /Filter /DCTDecode >>\nstream\n\xff\xd8junk\nendstream\nendobj"
+        )
+        == ""
+    )
+    assert text_from_pdf_basic(None) == ""
+
+
 def test_sentence_embedder_structure():
     """C3: the per-executor embedder singleton — model path (injected fake),
     input truncation rule (utils.py:58-78: embed at most

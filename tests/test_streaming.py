@@ -319,3 +319,56 @@ def test_streaming_near_dedup_probe_scans_bucket_subset(spark, tmp_path):
     from sage_spark.streaming.dedup import FLAG_TABLE
 
     assert store.read(spark, FLAG_TABLE).count() == 40
+
+
+def test_streaming_near_dedup_index_ttl_eviction(spark, tmp_path):
+    """State-size bound for a long crawl: evicting index rows older than a
+    batch horizon must (a) forget ONLY pairs whose older partner predates
+    the horizon — a doc near-dup'ing an evicted one re-enters as fresh;
+    (b) leave newer state and its (band, bucket) pruned-probe layout fully
+    intact; (c) never touch already-written flags."""
+    from pyspark.sql import functions as F
+
+    from sage_spark.streaming.dedup import (
+        BUCKET_TABLE,
+        FLAG_TABLE,
+        evict_index_before,
+        process_near_dup_batch,
+    )
+
+    text_a = "The quick brown fox jumps over the lazy dog and runs into the forest."
+    text_b = "Completely different content about database engines and query planners."
+    store = TableStore(tmp_path / "ttl_store", buckets=8)
+    # batch 0: doc a0 (text A); batch 1: doc b1 (text B)
+    process_near_dup_batch(
+        spark.createDataFrame([("a0", text_a)], "doc_id string, text string"),
+        store, bands=16, num_hashes=64, batch_seq=0,
+    )
+    process_near_dup_batch(
+        spark.createDataFrame([("b1", text_b)], "doc_id string, text string"),
+        store, bands=16, num_hashes=64, batch_seq=1,
+    )
+    rows_before = store.read(spark, BUCKET_TABLE).count()
+
+    # evict history before batch 1: a0's signature leaves, b1's stays
+    evict_index_before(store, spark, 1)
+    left = store.read(spark, BUCKET_TABLE)
+    assert left.filter(F.col("doc_id") == "a0").count() == 0
+    assert left.filter(F.col("doc_id") == "b1").count() > 0
+    assert left.count() < rows_before
+
+    # batch 2 carries near-dups of BOTH: the text-A dup re-enters as fresh
+    # (its partner was evicted), the text-B dup is still caught via the
+    # pruned probe against the surviving layout
+    process_near_dup_batch(
+        spark.createDataFrame(
+            [("xa", text_a.replace("forest", "woods")), ("xb", text_b.replace("planners", "engines"))],
+            "doc_id string, text string",
+        ),
+        store, bands=16, num_hashes=64, batch_seq=2,
+    )
+    flags = {r["doc_id"]: r for r in store.read(spark, FLAG_TABLE).collect()}
+    assert flags["xa"]["is_near_dup"] is False  # partner forgotten by TTL
+    assert flags["xb"]["is_near_dup"] is True and flags["xb"]["near_dup_of"] == "b1"
+    # flags written before the eviction are untouched
+    assert flags["a0"]["is_near_dup"] is False and flags["b1"]["is_near_dup"] is False
