@@ -326,7 +326,7 @@ def main() -> None:
     # carries its own evidence.
     kg_attempts = int(os.environ.get("SAGE_BENCH_KG_ATTEMPTS", "6"))
     ctl_procs = min(int(cpus), 16)
-    ctl_target = float(os.environ.get("SAGE_BENCH_KG_CTL_TARGET", "0.55"))
+    ctl_target = float(os.environ.get("SAGE_BENCH_KG_CTL_TARGET", "0.75"))
     kg, kg_ctl = None, 0.0
     for attempt in range(kg_attempts):
         ctl = _window_control(ctl_procs)

@@ -57,7 +57,9 @@ def test_repetition_stats_plan_has_no_exchange(spark):
 
 
 def test_anti_join_is_broadcast(spark):
-    plan = _plan(spark, entrymod.queries()["anti_customers_without_orders"](spark, SF))
+    # queries_all(): the query rotated out of the 50-slot driver window in
+    # round 5 but stays in the full CI registry
+    plan = _plan(spark, entrymod.queries_all()["anti_customers_without_orders"](spark, SF))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
