@@ -71,7 +71,10 @@ def pagerank(
     iterations grow the logical plan exponentially — cadence 2 benched fastest
     (6.3 s vs 9.1 s at 1 and 7.2 s at 4 for the 20-iteration contract
     graph); per-iteration eager actions were the round-3 bottleneck, plan
-    blowup punishes long cadences. With ``tol`` set, stops
+    blowup punishes long cadences. Re-swept in round 5 under the 4-shuffle-
+    partition contract config: cadences 1-4 read 9.7-14.4 s within window
+    noise (no change warranted), cadence 10 ran past a 15-minute budget —
+    the exponential-plan cliff is real. With ``tol`` set, stops
     early once the L1 delta between consecutive checkpointed states drops
     below it — the fixed-point contraction bound |r_k - r_inf|_1 <=
     delta * d/(1-d) makes that a certified convergence test. ``tol=None``
