@@ -1199,6 +1199,12 @@ _TINY_QUERIES = {
 
 
 def _wrap_conf(name: str, fn: Callable[[SparkSession, str], DataFrame]):
+    # NOTE: spark.sql.shuffle.partitions is session conf read at ACTION
+    # time, so this relies on build-then-execute-one-query-at-a-time (what
+    # the driver, bench.py and verify_entry all do). Interleaving builds of
+    # several registry queries before collecting them would run each under
+    # the last-built query's setting — results stay correct (the setting is
+    # partitioning-invariant), only the tiny-query latency win is lost.
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _set_shuffle(spark, name in _TINY_QUERIES)
         return fn(spark, sf_dir)

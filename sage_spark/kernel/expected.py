@@ -543,33 +543,38 @@ def expected_fact_diff(
     for f in current_facts:
         if f.get("status") == "current":
             by_key.setdefault(f["canonical_key"], []).append(f)
-    out: list[dict[str, Any]] = []
+    # the operator groups by (claim_id, doc_id, canonical_key) and ORs the
+    # equality flag across every (claim row x live fact) pair — duplicate
+    # claim rows that disagree on equality fields must MERGE (any match =>
+    # confirmed, min matched fact id), not last-row-wins
+    merged: dict[tuple, dict[str, Any]] = {}
     for c in new_claims:
         if not promotable(c):
             continue
         live = by_key.get(c["canonical_key"], [])
         matched = sorted(f["fact_id"] for f in live if facts_equal(f, c))
-        if not live:
+        key = (c["claim_id"], c["doc_id"], c["canonical_key"])
+        slot = merged.setdefault(key, {"live": bool(live), "matched": []})
+        slot["matched"].extend(matched)
+    out: list[dict[str, Any]] = []
+    for (claim_id, doc_id, canonical_key), slot in merged.items():
+        if not slot["live"]:
             change, existing = "added", None
-        elif matched:
-            change, existing = "confirmed", matched[0]
+        elif slot["matched"]:
+            change, existing = "confirmed", min(slot["matched"])
         else:
-            change, existing = "contradicted", min(f["fact_id"] for f in live)
+            change = "contradicted"
+            existing = min(f["fact_id"] for f in by_key[canonical_key])
         out.append(
             {
-                "claim_id": c["claim_id"],
-                "doc_id": c["doc_id"],
-                "canonical_key": c["canonical_key"],
+                "claim_id": claim_id,
+                "doc_id": doc_id,
+                "canonical_key": canonical_key,
                 "change": change,
                 "existing_fact_id": existing,
             }
         )
-    # the operator groups by (claim_id, doc_id, canonical_key): collapse
-    # exact duplicate claim rows the same way
-    seen: dict[tuple, dict[str, Any]] = {}
-    for r in out:
-        seen[(r["claim_id"], r["doc_id"], r["canonical_key"])] = r
-    return sorted(seen.values(), key=lambda r: (r["claim_id"], r["doc_id"], r["canonical_key"]))
+    return sorted(out, key=lambda r: (r["claim_id"], r["doc_id"], r["canonical_key"]))
 
 
 def expected_impact_radius(

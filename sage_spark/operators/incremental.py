@@ -29,19 +29,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..kernel.claims import MIN_CANONICAL_CONFIDENCE, NON_CANONICAL_TYPES
 
-# the fields deciding confirm-vs-contradict, mirroring
-# kernel/facts._FACT_EQUALITY_FIELDS (saia.py:1258-1275)
-_EQUALITY_FIELDS = (
-    "claim_type",
-    "predicate",
-    "subject_entity_id",
-    "subject_key",
-    "object_entity_id",
-    "object_key",
-    "value_text",
-    "temporal_start",
-    "temporal_granularity",
-)
+# the fields deciding confirm-vs-contradict — the ONE definition shared with
+# the serial mutation replay and the expected_fact_diff oracle (saia.py:
+# 1258-1275); importing it keeps operator and oracle from silently drifting
+from ..kernel.facts import _FACT_EQUALITY_FIELDS as _EQUALITY_FIELDS
 
 
 def promotable_col() -> F.Column:

@@ -80,11 +80,17 @@ def pagerank(
     delta * d/(1-d) makes that a certified convergence test. ``tol=None``
     runs exactly ``iterations`` rounds (bit-stable vs the serial oracle)."""
     if prepartitioned:
-        # caller provides a src-co-located, already-deduplicated edge set
-        # (e.g. a bucketed table via pagerank_on_bucketed_edges): do NOT
-        # checkpoint or re-shuffle it — that would erase the scan
-        # partitioning that makes the iteration joins exchange-free
-        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        # caller provides a src-co-located edge set (e.g. a bucketed table
+        # via pagerank_on_bucketed_edges): do NOT checkpoint or re-shuffle
+        # it — that would erase the scan partitioning that makes the
+        # iteration joins exchange-free. The set-semantics dedup still
+        # applies (raw mention edges repeat; multiplicity would skew
+        # out-degree and ranks) and stays exchange-free: HashPartitioning
+        # on src satisfies the (src, dst) clustering the dedup needs, so
+        # Catalyst plans it partition-local (asserted in test_plans).
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates(
+            ["src", "dst"]
+        )
     else:
         e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates(
             ["src", "dst"]

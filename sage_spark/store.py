@@ -148,6 +148,11 @@ class TableStore:
         self._swap_in(tmp, target)
 
     def append(self, df: DataFrame, table: str) -> None:
+        # recover first: appending while the table path is absent after a
+        # crashed swap would recreate it fresh and orphan the complete
+        # .__old__ copy (silently rmtree'd by the next swap) — the same
+        # loss window _recover closes for read/overwrite/upsert/compact
+        self._recover(table)
         df.write.mode("append").parquet(str(self.path(table)))
 
     def _bucket_expr(self, keys: list[str]) -> Column:
@@ -194,12 +199,20 @@ class TableStore:
         self._recover(table)
         target = self.path(table)
         if not target.exists():
+            if updates.isEmpty():
+                # creating a table from zero rows would write a partitioned
+                # dir with no parquet files (unreadable) — an empty batch
+                # against an absent table is a no-op instead
+                return
             tmp = target.with_name(target.name + ".__tmp__")
             if tmp.exists():
                 shutil.rmtree(tmp)
             updates.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(str(tmp))
+            # layout rides inside tmp BEFORE the publish rename: a crash
+            # after the rename (or a _recover that adopts this staged dir)
+            # must never yield a bucketed table without its layout record
+            self._write_layout(tmp, layout_keys or keys)
             tmp.rename(target)
-            self._write_layout(target, layout_keys or keys)
             return
         self._check_layout(table, layout_keys or keys)
         # the touched-bucket list is a bounded scalar set (<= self.buckets),
@@ -277,11 +290,25 @@ class TableStore:
         df = spark.read.parquet(str(target))
         if keep is not None:
             df = df.filter(keep)
+        partitioned = self.buckets is not None and BUCKET_COL in df.columns
+        if partitioned and df.isEmpty():
+            # a partitionBy write of zero rows leaves a dir with no parquet
+            # files — unreadable (UNABLE_TO_INFER_SCHEMA) and it wedges
+            # every later read/upsert. Zero survivors (e.g. a TTL horizon
+            # past the newest batch) instead drops the table: schema'd
+            # reads (read/read_pruned with schema) treat absent as
+            # typed-empty and the next upsert recreates it with a fresh
+            # layout record. A crash mid-delete can only leave extra rows
+            # that were due for eviction anyway (re-dropped by the next
+            # compact) or a layout-less remnant that fails loudly — never
+            # silent loss.
+            shutil.rmtree(target)
+            return
         tmp = target.with_name(target.name + ".__compact__")
         if tmp.exists():
             shutil.rmtree(tmp)
         layout = self._read_layout(table)
-        if self.buckets is not None and BUCKET_COL in df.columns:
+        if partitioned:
             # hash-repartition ON the bucket value: each task owns whole
             # buckets, so every dir is written by exactly one task -> one file
             (

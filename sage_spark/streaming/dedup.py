@@ -140,7 +140,10 @@ def evict_index_before(store: TableStore, spark, min_batch_seq: int) -> None:
     the index is probe state); rows at or after the horizon are untouched
     and keep their (band, bucket) layout, so pruned probes keep working.
     Sentinel -1 rows (callers that pass no seq) are evicted by any horizon
-    >= 0, matching their no-ordering contract."""
+    >= 0, matching their no-ordering contract. A horizon past the newest
+    batch evicts EVERYTHING: the index table is dropped (an empty
+    partitioned dir would be unreadable) and the next batch rebuilds it —
+    the stream continues, all history forgotten."""
     store.compact(
         spark, BUCKET_TABLE, keep=F.col("batch_seq") >= F.lit(int(min_batch_seq))
     )

@@ -234,3 +234,23 @@ def test_fact_diff_plan_single_key_shuffle_no_cartesian(spark):
     )
     assert "CartesianProduct" not in aff_plan
     assert "BroadcastNestedLoopJoin" not in aff_plan
+
+
+def test_fact_diff_duplicate_claim_rows_merge_not_last_wins(spark):
+    """Two claim rows sharing (claim_id, doc_id, canonical_key) where only
+    one is field-equal to a live fact: the operator ORs equality across the
+    duplicates (=> confirmed, min matched fact id); the serial oracle must
+    merge identically — last-row-wins would read 'contradicted' when the
+    non-equal duplicate iterates last."""
+    facts = [_fact(fact_id="f1", canonical_key="k1", value_text="alice")]
+    claims = [
+        _claim(claim_id="c1", canonical_key="k1", value_text="alice"),  # equal
+        _claim(claim_id="c1", canonical_key="k1", value_text="bob"),  # not equal, last
+    ]
+    cdf, fdf = _frames(spark, claims, facts)
+    got = fact_diff(cdf, fdf).collect()
+    assert len(got) == 1
+    assert got[0]["change"] == "confirmed" and got[0]["existing_fact_id"] == "f1"
+    exp = expected_fact_diff(claims, facts)
+    assert len(exp) == 1
+    assert exp[0]["change"] == "confirmed" and exp[0]["existing_fact_id"] == "f1"

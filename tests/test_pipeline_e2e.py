@@ -645,3 +645,44 @@ def test_dataprep_job_end_to_end(spark, tmp_path):
         sided2, "text", "__sid", threshold=0.8, candidates=cand2.select("id_a", "id_b")
     )
     assert ver2.count() == 0
+
+
+def test_store_append_recovers_crashed_swap_and_empty_upsert_noop(spark, tmp_path):
+    """(a) append() into the crashed-swap window (table path absent, the
+    complete copy renamed aside) must recover the aside FIRST — appending
+    blind would recreate the table with only the new rows and the next swap
+    would silently rmtree the orphaned aside (permanent loss of all
+    pre-crash rows); (b) a bucketed upsert of an EMPTY batch against an
+    absent table is a no-op, never an unreadable zero-file partitioned dir;
+    (c) a staged .__tmp__ from a crash-after-write carries its layout
+    record, so _recover adoption yields a fully usable bucketed table."""
+    from pyspark.sql import types as T
+
+    from sage_spark.store import LAYOUT_FILE, TableStore
+
+    root = tmp_path / "astore"
+    store = TableStore(root)
+    store.overwrite(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"), "t")
+
+    # crash window: table renamed aside (the _swap_in midpoint)
+    (root / "t").rename(root / "t.__old__")
+    store.append(spark.createDataFrame([("c", 3)], "k string, v int"), "t")
+    got = sorted(map(tuple, store.read(spark, "t").collect()))
+    assert got == [("a", 1), ("b", 2), ("c", 3)]
+
+    bstore = TableStore(tmp_path / "bstore", buckets=4)
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.IntegerType())]
+    )
+    bstore.upsert(spark.createDataFrame([], schema), "e", ["k"])
+    assert not bstore.exists("e")  # no-op, not a wedged empty dir
+    assert bstore.read(spark, "e", schema).count() == 0
+
+    # staged-dir adoption keeps the table bucketed-usable: the layout file
+    # is written INSIDE tmp before the publish rename, so a _SUCCESS-marked
+    # .__tmp__ adopted by _recover passes the layout check
+    bstore.upsert(spark.createDataFrame([("a", 1)], "k string, v int"), "b", ["k"])
+    (tmp_path / "bstore" / "b").rename(tmp_path / "bstore" / "b.__tmp__")
+    assert (tmp_path / "bstore" / "b.__tmp__" / LAYOUT_FILE).exists()
+    bstore.upsert(spark.createDataFrame([("b", 2)], "k string, v int"), "b", ["k"])
+    assert bstore.read(spark, "b").count() == 2

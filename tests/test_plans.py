@@ -146,20 +146,23 @@ def test_pagerank_bucketed_edges_join_adds_no_edge_exchange(spark, tmp_path):
     must shuffle ONLY the rank side: the bucketed scan's partitioning
     (which survives AQE, unlike LogicalRDD pinning) feeds the join and the
     out-degree aggregate with zero edge-side Exchange — iterations×|edges|
-    of avoided shuffle at graph scale. Result identity vs the plain path is
-    asserted alongside."""
+    of avoided shuffle at graph scale. The table holds RAW (repeating)
+    mention edges: the set-semantics dedup pagerank promises must hold on
+    this path too, planned partition-local (HashPartitioning(src) satisfies
+    the (src, dst) clustering, so it adds no Exchange either). Result
+    identity vs the plain path on the deduplicated graph is asserted
+    alongside."""
     from pyspark.sql import functions as F
 
     from sage_spark.operators.bucketing import read_bucketed, write_bucketed
     from sage_spark.operators.pagerank import pagerank, pagerank_on_bucketed_edges
 
     raw = spark.createDataFrame(
-        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a")],
+        # (c, a) and (a, b) repeat: multiplicity must NOT skew out-degree
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"), ("c", "a"), ("a", "b")],
         "src string, dst string",
     )
-    write_bucketed(
-        raw.dropDuplicates(["src", "dst"]), "pr_edges_b", str(tmp_path / "pr_edges"), "src", buckets=4
-    )
+    write_bucketed(raw, "pr_edges_b", str(tmp_path / "pr_edges"), "src", buckets=4)
     try:
         e = read_bucketed(spark, "pr_edges_b")
         agg_plan = (
@@ -167,6 +170,11 @@ def test_pagerank_bucketed_edges_join_adds_no_edge_exchange(spark, tmp_path):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in agg_plan
+        dedup_plan = (
+            e.dropDuplicates(["src", "dst"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in dedup_plan
         ranks = spark.createDataFrame([("a", 0.25), ("b", 0.25)], "src string, rank double")
         # force the at-scale join shape (tiny test ranks would broadcast,
         # which also has no edge-side Exchange — but SMJ is what a

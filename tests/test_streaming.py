@@ -372,3 +372,47 @@ def test_streaming_near_dedup_index_ttl_eviction(spark, tmp_path):
     assert flags["xb"]["is_near_dup"] is True and flags["xb"]["near_dup_of"] == "b1"
     # flags written before the eviction are untouched
     assert flags["a0"]["is_near_dup"] is False and flags["b1"]["is_near_dup"] is False
+
+
+def test_streaming_near_dedup_full_eviction_then_continue(spark, tmp_path):
+    """Evicting EVERY index row (a horizon past the newest batch, or any
+    horizon >= 0 against sentinel-only state) must not wedge the stream: a
+    partitionBy write of zero rows would leave an unreadable dir
+    (UNABLE_TO_INFER_SCHEMA on every later read/upsert), so full eviction
+    drops the table; the next batch probes a typed-empty index, flags
+    fresh, and rebuilds the state from scratch."""
+    from pyspark.sql import functions as F
+
+    from sage_spark.streaming.dedup import (
+        BUCKET_TABLE,
+        FLAG_TABLE,
+        evict_index_before,
+        process_near_dup_batch,
+    )
+
+    text_a = "The quick brown fox jumps over the lazy dog and runs into the forest."
+    store = TableStore(tmp_path / "full_evict_store", buckets=8)
+    process_near_dup_batch(
+        spark.createDataFrame([("a0", text_a)], "doc_id string, text string"),
+        store, bands=16, num_hashes=64, batch_seq=0,
+    )
+    # horizon past the newest batch: zero survivors -> table dropped
+    evict_index_before(store, spark, 99)
+    assert not store.exists(BUCKET_TABLE)
+    # the stream continues: a near-dup of the evicted doc re-enters fresh...
+    process_near_dup_batch(
+        spark.createDataFrame(
+            [("xa", text_a.replace("forest", "woods"))], "doc_id string, text string"
+        ),
+        store, bands=16, num_hashes=64, batch_seq=1,
+    )
+    # ...and the index rebuilds, so the NEXT near-dup is caught again
+    process_near_dup_batch(
+        spark.createDataFrame(
+            [("ya", text_a.replace("lazy", "idle"))], "doc_id string, text string"
+        ),
+        store, bands=16, num_hashes=64, batch_seq=2,
+    )
+    flags = {r["doc_id"]: r for r in store.read(spark, FLAG_TABLE).collect()}
+    assert flags["xa"]["is_near_dup"] is False
+    assert flags["ya"]["is_near_dup"] is True and flags["ya"]["near_dup_of"] == "xa"
