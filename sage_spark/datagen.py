@@ -269,3 +269,53 @@ def synth_media_payload(doc_id: int) -> bytes:
     if doc_id % 2 == 0:
         return synth_png_bytes(width, height, doc_id)
     return synth_gif_bytes(width, height, doc_id)
+
+
+def synth_wav_bytes(
+    sample_rate: int, n_channels: int, bits: int, n_frames: int, seed: int = 0
+) -> bytes:
+    """A structurally valid PCM WAV container (RIFF header, canonical
+    16-byte fmt chunk, data chunk), pure stdlib — deterministic test
+    payloads for the real audio-header decode path
+    (operators/multimodal.parse_audio_header). Sample bytes come from a
+    seed-keyed LCG so content (and therefore the content hash) varies with
+    the seed while every header field stays formula-derived."""
+    import struct
+
+    block_align = n_channels * (bits // 8)
+    byte_rate = sample_rate * block_align
+    n_data = n_frames * block_align
+    data = bytes(((seed * 1103515245 + i * 12345 + 12345) >> 7) & 0xFF for i in range(n_data))
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, bits)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", n_data)
+        + data
+        + (b"\x00" if n_data & 1 else b"")  # RIFF chunks are word-aligned
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# audio parameter formulas — one rule shared by synth_audio_payload, the
+# Spark contract query, and its serial-replay oracle (_expected_docs_dir)
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def synth_audio_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(sample_rate, n_channels, bit_depth, n_frames) for a given id."""
+    return (
+        _WAV_RATES[doc_id % 4],
+        1 + doc_id % 2,
+        8 if doc_id % 3 == 0 else 16,
+        50 + (doc_id * 13) % 200,
+    )
+
+
+def synth_audio_payload(doc_id: int) -> bytes:
+    """Deterministic WAV payload for the multimodal audio contract row."""
+    rate, channels, bits, frames = synth_audio_params(doc_id)
+    return synth_wav_bytes(rate, channels, bits, frames, seed=doc_id)

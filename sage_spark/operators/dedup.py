@@ -358,3 +358,60 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster-level dedup decisions: pairwise near-dup verdicts alone
+    cannot pick survivors (A~B and B~C chain into one group even when A and
+    C were never a candidate pair), so the verified pairs become an
+    undirected graph, each connected component becomes one duplicate
+    cluster, and the minimum id per cluster is the survivor.
+
+    Returns one row per input id: (id_col, cluster_id, is_survivor) where
+    cluster_id is the component's min member id (singletons: the id itself,
+    is_survivor true).
+
+    Scale shape: the component iteration (components.connected_components,
+    O(log n) min-label rounds) runs ONLY over ids that appear in >= 1 pair
+    — on a web corpus that's a few percent of documents — never over the
+    full corpus; the corpus joins the (small) labeling once, on its own
+    partitioning key. Reference near-dup removal is a serial union-find
+    (scripts/performance_comparison.py); this is its distributed
+    re-expression."""
+    from .components import connected_components
+
+    comp = connected_components(pairs, id_a, id_b).withColumnRenamed("vertex", id_col)
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+            (F.col(id_col) == F.coalesce("component", F.col(id_col))).alias("is_survivor"),
+        )
+    )
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep exactly one document per near-dup cluster (the min-id member),
+    preserving every input column — the keep-side twin of
+    ``near_dup_clusters``. Equivalent to a semi-join of the corpus against
+    the survivor set; singletons always survive."""
+    labels = near_dup_clusters(df.select(id_col), pairs, id_col, id_a=id_a, id_b=id_b)
+    return df.join(
+        labels.filter(F.col("is_survivor")).select(id_col), id_col, "semi"
+    )

@@ -54,6 +54,20 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("content_sha256", T.StringType(), False),
+        T.StructField("fmt", T.StringType(), True),  # wav|unknown
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
 FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),
@@ -160,6 +174,89 @@ def extract_image_features(media: DataFrame, *, strict: bool = False, embed_dim:
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
 
     return src.mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def parse_audio_header(data: bytes) -> tuple[str, int, int, int, int] | None:
+    """Real RIFF/WAVE container-header parse, pure stdlib: returns (fmt,
+    sample_rate, n_channels, bit_depth, n_frames) for PCM WAV payloads,
+    None when the bytes are not a recognized container. Walks the chunk
+    list (word-aligned, per the RIFF spec) reading only the fmt and data
+    chunk headers — no sample decode, no audio library."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    sample_rate = n_channels = bits = None
+    n_data = None
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if tag == b"fmt " and size >= 16 and pos + 8 + 16 <= len(data):
+            _, n_channels, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", data[pos + 8 : pos + 24]
+            )
+        elif tag == b"data":
+            n_data = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if not sample_rate or not n_channels or not bits or n_data is None:
+        return None
+    block_align = n_channels * max(1, bits // 8)
+    return ("wav", sample_rate, n_channels, bits, n_data // block_align)
+
+
+def _decode_audio(payload: bytes, strict: bool) -> tuple[str, int, int, int, int]:
+    """Header decode with an environment-gated fallback, the audio twin of
+    _decode_image: recognized WAV containers parse for real; anything else
+    (mp3/flac/ogg need a codec library, absent here) raises in strict mode
+    or derives a clearly-fake deterministic shape from the content hash."""
+    parsed = parse_audio_header(payload or b"")
+    if parsed is not None:
+        return parsed
+    if strict:
+        raise NotImplementedError(
+            "payload is not a PCM WAV container; compressed-codec decode "
+            "(mp3/flac/ogg) requires libsndfile/ffmpeg, not installed in "
+            "this container — deploy with the media extras to enable"
+        )
+    digest = hashlib.sha256(payload or b"").digest()
+    return ("unknown", 16000, 1 + digest[0] % 2, 16, 1000 + digest[1] * 16)
+
+
+def extract_audio_features(media: DataFrame, *, strict: bool = False, embed_dim: int = 16) -> DataFrame:
+    """Audio decode + feature-extract stage, mirroring
+    extract_image_features: one Arrow batch of binary payloads in, one
+    batch of (rate/channels/depth/frames/duration, embedding) out.
+    Partitioning, batching, and schema are production-real; only the
+    sample-level path (codec decode, learned embeddings) is stubbed."""
+    src = media.filter(F.col("media_type") == "audio").select("media_id", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                fmt, rate, channels, bits, frames = _decode_audio(data, strict)
+                digest = hashlib.sha256(data).digest()
+                rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
+                vec = rng.standard_normal(embed_dim)
+                vec = (vec / (np.linalg.norm(vec) or 1.0)).astype(np.float32)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "content_sha256": hashlib.sha256(data).hexdigest(),
+                        "fmt": fmt,
+                        "sample_rate": rate,
+                        "n_channels": channels,
+                        "bit_depth": bits,
+                        "n_frames": frames,
+                        "duration_ms": frames * 1000 // rate if rate else None,
+                        "embedding": vec.tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return src.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def sample_video_frames(media: DataFrame, *, every_ms: int = 1000, max_frames: int = 8, strict: bool = False) -> DataFrame:

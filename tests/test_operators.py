@@ -10,16 +10,23 @@ from pyspark.sql import functions as F
 from sage_spark.kernel.embed import hash_embedding
 from sage_spark.operators.components import canonical_entity_components, connected_components
 from sage_spark.operators.dedup import (
+    cluster_dedup,
     embedding_near_duplicates,
     exact_dedup,
     exact_duplicates,
     minhash_lsh_candidates,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     with_minhash,
     with_simhash,
 )
 from sage_spark.operators.linking import link_mentions_exact, link_mentions_lsh
-from sage_spark.operators.multimodal import MEDIA_SCHEMA, extract_image_features, sample_video_frames
+from sage_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_audio_features,
+    extract_image_features,
+    sample_video_frames,
+)
 from sage_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk
 from sage_spark.operators.textstats import with_fingerprint, with_language_id, with_quality_stats
 
@@ -332,6 +339,110 @@ def test_parse_image_header_formats_and_malformed():
     # malformed payloads never raise; they return None
     for bad in (b"", b"fak", b"\x89PNG\r\n\x1a\nXX", b"GIF89a\x01", b"\xff\xd8\xff", b"BM\x00"):
         assert parse_image_header(bad) is None
+
+
+def test_audio_plumbing(spark):
+    """extract_audio_features mirrors the image path: real RIFF/WAVE header
+    decode (pure stdlib), hash-fake fallback for unrecognized codecs,
+    strict mode raising on them."""
+    from sage_spark.datagen import synth_wav_bytes
+
+    media = spark.createDataFrame(
+        [
+            ("aud-1", "d1", "audio", "audio/wav", synth_wav_bytes(16000, 2, 16, 120, 1), None),
+            ("aud-2", "d2", "audio", "audio/mpeg", b"ID3fakemp3payload", None),
+            ("img-1", "d3", "image", "image/png", b"notaudio", None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r.asDict() for r in extract_audio_features(media).collect()}
+    # only audio rows reach the kernel (media_type filter, not mime sniffing)
+    assert set(feats) == {"aud-1", "aud-2"}
+    a1 = feats["aud-1"]
+    assert (a1["fmt"], a1["sample_rate"], a1["n_channels"], a1["bit_depth"], a1["n_frames"]) == (
+        "wav", 16000, 2, 16, 120,
+    )
+    assert a1["duration_ms"] == 120 * 1000 // 16000 and len(a1["embedding"]) == 16
+    assert feats["aud-2"]["fmt"] == "unknown" and feats["aud-2"]["sample_rate"] > 0
+    ok = media.filter("media_id = 'aud-1'")
+    assert len(extract_audio_features(ok, strict=True).collect()) == 1
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_audio_features(media, strict=True).collect()
+
+
+def test_parse_audio_header_formats_and_malformed():
+    """Pure-function coverage for the stdlib RIFF/WAVE parser: parameter
+    grid round-trip, chunk-walk past extra chunks, word alignment,
+    malformed/truncated payloads."""
+    import struct
+
+    from sage_spark.datagen import synth_audio_params, synth_audio_payload, synth_wav_bytes
+    from sage_spark.operators.multimodal import parse_audio_header
+
+    for i in range(0, 40):
+        assert parse_audio_header(synth_audio_payload(i)) == ("wav",) + synth_audio_params(i), i
+    # a LIST chunk before fmt/data: the walker skips it by size
+    wav = synth_wav_bytes(44100, 1, 16, 77, 9)
+    listed = wav[:12] + b"LIST" + struct.pack("<I", 4) + b"INFO" + wav[12:]
+    assert parse_audio_header(listed) == ("wav", 44100, 1, 16, 77)
+    # odd-sized data chunk is word-aligned: a chunk AFTER it still parses
+    odd = synth_wav_bytes(8000, 1, 8, 33, 5)
+    assert odd.index(b"data") >= 0 and (len(odd) % 2 == 0)  # pad byte present
+    trailed = odd + b"LIST" + struct.pack("<I", 4) + b"INFO"
+    assert parse_audio_header(trailed) == ("wav", 8000, 1, 8, 33)
+    # malformed payloads never raise; they return None
+    for bad in (b"", b"RIF", b"RIFFxxxxWAVE", b"RIFFxxxxAVI ", synth_audio_payload(3)[:30]):
+        assert parse_audio_header(bad) is None
+
+
+def test_near_dup_clusters_chain_and_survivors(spark):
+    """A~B and B~C chain into ONE cluster even though (A, C) was never a
+    verified pair — the whole point of cluster- over pairwise-dedup. The
+    survivor is the min id per component; docs in no pair survive as
+    singletons; cluster_dedup keeps exactly the survivor rows with their
+    columns intact."""
+    docs = spark.createDataFrame(
+        [("a", "x"), ("b", "y"), ("c", "z"), ("d", "solo"), ("e", "alone")],
+        "doc_id string, text string",
+    )
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c")], "id_a string, id_b string")
+    labels = {r["doc_id"]: r for r in near_dup_clusters(docs, pairs, "doc_id").collect()}
+    assert len(labels) == 5
+    assert labels["a"]["cluster_id"] == labels["b"]["cluster_id"] == labels["c"]["cluster_id"] == "a"
+    assert labels["a"]["is_survivor"] and not labels["b"]["is_survivor"] and not labels["c"]["is_survivor"]
+    for solo in ("d", "e"):
+        assert labels[solo]["cluster_id"] == solo and labels[solo]["is_survivor"]
+    kept = {r["doc_id"]: r["text"] for r in cluster_dedup(docs, pairs, "doc_id").collect()}
+    assert kept == {"a": "x", "d": "solo", "e": "alone"}
+
+
+def test_near_dup_clusters_matches_serial_union_find(spark, docs_df):
+    """End-to-end over the LSH->Jaccard pipeline on the module corpus,
+    cross-checked against an independent serial union-find on the same
+    verified pairs."""
+    docs = docs_df.withColumn("doc_id", F.col("doc_id").cast("string"))
+    cands = minhash_lsh_candidates(docs, "text", "doc_id", shingle_len=5, num_hashes=64, bands=16)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_len=5, threshold=0.5, candidates=cands)
+    got = {r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+           for r in near_dup_clusters(docs, pairs.select("id_a", "id_b"), "doc_id").collect()}
+
+    parent: dict[str, str] = {str(i): str(i) for i, _ in DOCS}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r["id_a"]), find(r["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for i, _ in DOCS:
+        want = find(str(i))
+        assert got[str(i)] == (want, want == str(i)), i
+    # the module corpus has a real near-dup pair: assert it actually merged
+    assert got["2"][0] == got["1"][0] == "1"
 
 
 def test_xxhash64_matches_spark_bit_exactly(spark):

@@ -79,10 +79,11 @@ def test_multimodal_plan_single_mapinpandas_over_scan(spark):
     """The media decode query must be fully distributed: exactly one
     MapInPandas stage fed by the parquet scan, never a driver collect /
     LocalTableScan round-trip (the 100 TB media-table scale-killer)."""
-    plan = _plan(spark, entrymod.queries()["multimodal_image_features"](spark, SF))
-    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
-    assert "LocalTableScan" not in plan
-    assert "Scan parquet" in plan
+    for q in ("multimodal_image_features", "multimodal_audio_features"):
+        plan = _plan(spark, entrymod.queries()[q](spark, SF))
+        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, q
+        assert "LocalTableScan" not in plan, q
+        assert "Scan parquet" in plan, q
 
 
 def test_retrieval_person_scoped_no_cartesian(spark):
