@@ -279,9 +279,10 @@ def main() -> None:
         "kg_insight",
         "chat_unread_counts",
     ]
-    queries = entrymod.queries()
-    # retired from the 50-slot driver registry but still bench-tracked
-    queries["sim_lsh_topk"] = entrymod.q_sim_lsh_topk
+    # queries_all = the 50-slot driver window PLUS every rotated-out query:
+    # the bench set must survive per-round window rotation untouched so
+    # wall-time series stay like-for-like across rounds
+    queries = entrymod.queries_all()
     # the driver-contract minhash query is sliced to doc_id<500 for its
     # serial-replay oracle; the bench keeps the full-corpus workload
     from pyspark.sql import functions as F  # noqa: E402
