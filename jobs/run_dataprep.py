@@ -11,7 +11,8 @@ operators:
     4 pii           email/phone/ip redaction           (operators/textstats.py)
     5 exact dedup   min-id representative per hash     (operators/dedup.py)
     6 near dedup    MinHash-LSH candidate drop         (operators/dedup.py)
-                    (+ optional exact-Jaccard verify, --verify-jaccard T)
+                    (+ optional exact-Jaccard verify, --verify-jaccard T;
+                     --cluster-dedup for transitive keep-one-per-component)
     7 decontam      benchmark n-gram overlap drop      (operators/decontam.py)  [optional]
     8 pack          concat-and-chunk window layout     (operators/packing.py)
 
@@ -46,6 +47,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from sage_spark.operators.boilerplate import strip_boilerplate  # noqa: E402
 from sage_spark.operators.decontam import decontaminate  # noqa: E402
 from sage_spark.operators.dedup import (  # noqa: E402
+    cluster_dedup,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -80,6 +82,13 @@ def main() -> None:
         "--verify-jaccard", type=float, default=None, metavar="T",
         help="verify LSH candidates with exact shingle Jaccard and drop only "
              "pairs >= T (one extra candidate-sized join; cuts LSH false-positive drops)",
+    )
+    ap.add_argument(
+        "--cluster-dedup", action="store_true",
+        help="transitive near-dedup: connected components over the (verified) "
+             "pairs, keep the min-id document per cluster — pairwise drop keeps "
+             "BOTH a and b of an unpaired (a, c)+(b, c) wedge; cluster mode "
+             "keeps one representative per chained group",
     )
     args = ap.parse_args()
 
@@ -119,13 +128,16 @@ def main() -> None:
                 threshold=args.verify_jaccard,
                 candidates=pairs.select("id_a", "id_b"),
             )
-        # keep id_a (the smaller id of each candidate pair), drop id_b
-        drop = pairs.select(F.col("id_b").alias("__sid")).distinct()
-        kept = (
-            kept.withColumn("__sid", F.col("doc_id").cast("string"))
-            .join(drop, "__sid", "left_anti")
-            .drop("__sid")
-        )
+        if args.cluster_dedup:
+            # transitive semantics: one survivor (min id) per connected
+            # component of the pair graph — the component iteration runs
+            # only over ids appearing in >= 1 pair, never the full corpus
+            kept = cluster_dedup(sided, pairs.select("id_a", "id_b"), "__sid").drop("__sid")
+        else:
+            # pairwise semantics: keep id_a (the smaller id of each
+            # candidate pair), drop id_b
+            drop = pairs.select(F.col("id_b").alias("__sid")).distinct()
+            kept = sided.join(drop, "__sid", "left_anti").drop("__sid")
         counts["near_dedup"] = kept.count()
 
     if args.benchmark:

@@ -646,6 +646,29 @@ def test_dataprep_job_end_to_end(spark, tmp_path):
     )
     assert ver2.count() == 0
 
+    # --cluster-dedup: transitive keep-one-per-component. Every cluster
+    # survivor is the min id of its component, so it is never the larger
+    # side of a pair -> the cluster survivor set is a SUBSET of the
+    # pairwise one; and no near-dup pair survives intact.
+    out3 = tmp_path / "prep_cluster"
+    proc3 = subprocess.run(
+        [
+            sys.executable, "jobs/run_dataprep.py",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(out3),
+            "--cluster-dedup",
+        ],
+        capture_output=True, text=True, timeout=500, check=True, cwd="/root/repo",
+    )
+    summary3 = json.loads([l for l in proc3.stdout.splitlines() if l.startswith("{")][-1])
+    assert summary3["near_dedup"] <= summary["near_dedup"]
+    corpus3 = spark.read.parquet(str(out3 / "corpus"))
+    ids3 = {r["doc_id"] for r in corpus3.select("doc_id").collect()}
+    assert ids3 <= ids1 and len(ids3) == summary3["documents_out"]
+    sided3 = corpus3.withColumn("__sid", F.col("doc_id").cast("string"))
+    cand3 = minhash_lsh_candidates(sided3, "text", "__sid", bands=8, num_hashes=64)
+    assert cand3.count() == 0
+
 
 def test_store_append_recovers_crashed_swap_and_empty_upsert_noop(spark, tmp_path):
     """(a) append() into the crashed-swap window (table path absent, the
