@@ -480,6 +480,47 @@ def q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def q_dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (substring) duplicate detection: every 13-token window
+    occurring >= 2 times across the 500-doc slice, with its occurrence
+    count and the first-occurrence flag a clipping pass would keep. The
+    operator groups on xxhash64 of the window; the DuckDB oracle groups on
+    the window STRING itself — an independent formulation that also proves
+    the corpus has no 64-bit hash collision at this scale."""
+    from sage_spark.operators.dedup import duplicated_spans
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
+    out = duplicated_spans(docs, "text", "doc_id", width=13, min_count=2)
+    return out.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"), "is_first",
+    ).orderBy("doc_id", "pos")
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mixture sampling (the data-mixing step of a pre-training run):
+    downsample sources to EXACTLY a 40/35/25 mass mixture over src0/src3/
+    src5, the largest corpus achievable without upsampling. All threshold
+    arithmetic is BIGINT integer division, bit-reproducible in any engine
+    (no float knife edges); selection is the deterministic sha256 bucket
+    of (source, doc_id)."""
+    from sage_spark.operators.corpus import mix_to_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    out = mix_to_weights(
+        docs,
+        {"src0": 400_000, "src3": 350_000, "src5": 250_000},
+        stratum_col="source",
+        key="doc_id",
+        mass_col="n_chars",
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "source").orderBy("doc_id")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return with_simhash(docs, "text").select("doc_id", "simhash").orderBy("doc_id")
@@ -1276,23 +1317,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """EXACTLY 50 entries — the driver's check window (it verifies the first
     50 registry rows; round 3 shipped 56 and the tail went unchecked).
 
-    Round-5 rotation (per the round-4 verdict): the four NEW rows (two
-    incremental-maintenance, cluster dedup, audio features) plus four of
-    the round-4-retired rows lead; eight rows that have been driver-green
-    in every round they appeared (r1-r4) rotate OUT this round —
+    Round-5 rotation (per the round-4 verdict): the six NEW rows (two
+    incremental-maintenance, cluster dedup, audio features, span-level
+    dedup, token-mixture sampling) plus four of the round-4-retired rows
+    lead; ten rows that have been driver-green in every round they
+    appeared (r1-r4) rotate OUT this round —
     anti_customers_without_orders, window_degree_top_users,
     ist_display_events, text_token_stats, text_fingerprint, dedup_simhash,
-    agg_event_type_daily, join_top_brands_by_revenue — so every operator
-    family re-earns a driver-green row at least every other round. Every
-    rotated-out query keeps its q_ function AND its oracle and stays
-    continuously checked via queries_all() (run by tools/verify_entry.py
-    in CI)."""
+    agg_event_type_daily, join_top_brands_by_revenue, graph_one_hop_orders,
+    events_sessionize — so every operator family re-earns a driver-green
+    row at least every other round. Every rotated-out query keeps its q_
+    function AND its oracle and stays continuously checked via
+    queries_all() (run by tools/verify_entry.py in CI)."""
     reg = {
         # --- round-5 new + rotated-back-in -------------------------------
         "kg_fact_diff": q_kg_fact_diff,
         "kg_impact_radius": q_kg_impact_radius,
         "dedup_near_clusters": q_dedup_near_clusters,
         "multimodal_audio_features": q_multimodal_audio_features,
+        "dedup_duplicated_spans": q_dedup_duplicated_spans,
+        "corpus_mix": q_corpus_mix,
         "dedup_exact_groups": q_dedup_exact_groups,
         "agg_rollup_events": q_agg_rollup_events,
         "chat_participations": q_chat_participations,
@@ -1320,11 +1364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_top_order_per_customer": q_window_top_order_per_customer,
         "recency_weighted_events": q_recency_weighted_events,
-        "graph_one_hop_orders": q_graph_one_hop_orders,
         "join_asof_last_signup": q_join_asof_last_signup,
         "join_range_after_purchase": q_join_range_after_purchase,
         "agg_hypertable_rollup": q_agg_hypertable_rollup,
-        "events_sessionize": q_events_sessionize,
         # --- text analysis (DuckDB-oracled) ------------------------------
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
@@ -1361,6 +1403,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     extra = {
         "agg_event_type_daily": q_agg_event_type_daily,
         "join_top_brands_by_revenue": q_join_top_brands_by_revenue,
+        "graph_one_hop_orders": q_graph_one_hop_orders,
+        "events_sessionize": q_events_sessionize,
         "anti_customers_without_orders": q_anti_customers_without_orders,
         "window_degree_top_users": q_window_degree_top_users,
         "ist_display_events": q_ist_display_events,
@@ -2028,6 +2072,41 @@ def oracle_sql() -> dict[str, str]:
                    n.doc_id = coalesce(c.cluster_id, n.doc_id) AS is_survivor
             FROM norm n LEFT JOIN comp c ON n.doc_id = c.doc_id
             ORDER BY n.doc_id
+        """,
+        "dedup_duplicated_spans": """
+            WITH toks AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS tt
+                FROM documents WHERE doc_id < 500
+            ), w AS (
+                SELECT doc_id, CAST(p.pos AS BIGINT) AS pos,
+                       array_to_string(tt[p.pos + 1 : p.pos + 13], ' ') AS wstr
+                FROM toks, LATERAL (SELECT unnest(range(0, len(tt) - 13 + 1)) AS pos) p
+                WHERE len(tt) >= 13
+            ), c AS (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY wstr) AS n_occurrences,
+                       row_number() OVER (PARTITION BY wstr ORDER BY doc_id, pos) AS rn
+                FROM w
+            )
+            SELECT doc_id, pos, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+                   rn = 1 AS is_first
+            FROM c WHERE n_occurrences >= 2 ORDER BY doc_id, pos
+        """,
+        "corpus_mix": """
+            WITH mass AS (
+                SELECT source, CAST(sum(n_chars) AS BIGINT) AS m,
+                       CAST(CASE source WHEN 'src0' THEN 400000 WHEN 'src3' THEN 350000
+                                        WHEN 'src5' THEN 250000 ELSE 0 END AS BIGINT) AS w
+                FROM documents GROUP BY source
+            ), sel AS (SELECT * FROM mass WHERE w > 0),
+            b AS (SELECT min(m * 1000000 // w) AS bb FROM sel),
+            thr AS (SELECT source, ((bb * w // 1000000) * 1000000) // m AS t FROM sel, b)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN thr ON d.source = thr.source
+            WHERE ('0x' || substr(sha256(d.source || '|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000000 < thr.t
+            ORDER BY d.doc_id
         """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -79,3 +79,60 @@ def corpus_stats(
         F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY __len) AS BIGINT)").alias("p50_chars"),
         F.expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY __len) AS BIGINT)").alias("p90_chars"),
     )
+
+
+def mix_to_weights(
+    df: DataFrame,
+    weights_ppm: dict[str, int],
+    *,
+    stratum_col: str = "source",
+    key: str = "doc_id",
+    mass_col: str = "n_tokens",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Downsample strata to a target mixture (parts-per-million weights):
+    the largest corpus achievable at EXACTLY those proportions without
+    upsampling any source — the data-mixing step of a pre-training run.
+
+    Budget rule: with T_s = current mass of stratum s and w_s its target
+    ppm, the binding stratum sets the total budget B = min_s (T_s * 1e6
+    DIV w_s); stratum s then keeps mass M_s = B * w_s DIV 1e6 via the
+    deterministic (stratum, key)-hashed filter at threshold M_s * buckets
+    DIV T_s. All arithmetic is BIGINT integer division, so any engine
+    reproduces the selection bit-exactly — no float-boundary knife edges.
+    Strata absent from ``weights_ppm`` (or weighted 0) are dropped.
+
+    Scale shape: one partial-agg shuffle for the per-stratum masses (a
+    #strata-sized frame), thresholds derived declaratively and
+    broadcast-joined back; the corpus itself never shuffles — the filter
+    runs at scan speed like the other samplers in this module.
+    """
+    w_expr = F.lit(0)
+    for value, ppm in sorted(weights_ppm.items()):
+        w_expr = F.when(F.col(stratum_col) == value, F.lit(int(ppm))).otherwise(w_expr)
+    masses = (
+        df.groupBy(stratum_col)
+        .agg(F.sum(F.col(mass_col)).cast("long").alias("__mass"))
+        .withColumn("__w", w_expr.cast("long"))
+        .filter(F.col("__w") > 0)
+    )
+    budget = masses.select(
+        F.min(F.expr("__mass * 1000000 DIV __w")).cast("long").alias("__B")
+    )
+    thresholds = (
+        masses.crossJoin(F.broadcast(budget))
+        .select(
+            stratum_col,
+            F.expr(f"((__B * __w DIV 1000000) * CAST({int(buckets)} AS BIGINT)) DIV __mass").alias(
+                "__thr"
+            ),
+        )
+    )
+    h = _hash_unit(
+        F.concat_ws("|", F.col(stratum_col), F.col(key).cast("string")), buckets=buckets
+    )
+    return (
+        df.join(F.broadcast(thresholds), stratum_col)
+        .filter(h < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -415,3 +415,63 @@ def cluster_dedup(
     return df.join(
         labels.filter(F.col("is_survivor")).select(id_col), id_col, "semi"
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    width: int = 20,
+    stride: int = 1,
+    min_count: int = 2,
+) -> DataFrame:
+    """Span-level (substring) duplicate detection: flag every ``width``-token
+    window that occurs >= ``min_count`` times anywhere in the corpus —
+    document-level dedup misses boilerplate paragraphs repeated inside
+    otherwise-unique pages, the dominant duplication mode in web crawls.
+
+    Returns (id_col, pos, n_occurrences, is_first): one row per duplicated
+    window occurrence, ``pos`` the 0-based token offset, ``is_first`` true
+    for the (doc, pos)-least occurrence of each distinct window (the
+    occurrence a span-clipping pass would keep).
+
+    Scale shape: tokenize + window construction are one JVM-side projection
+    (transform over sequence — no Python, no explode of raw tokens); the
+    explode emits ~tokens/stride rows; the single shuffle partitions by the
+    window hash (count + first-rank via one window function). ``stride`` > 1
+    trades recall for an explode-size divisor on petabyte corpora. Skew
+    bound: the hottest span's whole occurrence list lands in one partition
+    (window functions don't partial-aggregate) — at 100 TB run boilerplate
+    removal first so site chrome never reaches this operator, and/or raise
+    ``stride``.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[A-Za-z0-9]+"), F.lit(0)).alias(
+            "__toks"
+        ),
+    )
+    n = F.size(F.col("__toks"))
+    spans = F.transform(
+        F.sequence(F.lit(0), n - width, F.lit(stride)),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.xxhash64(F.array_join(F.slice(F.col("__toks"), i + 1, width), " ")).alias("h"),
+        ),
+    )
+    ex = (
+        toks.filter(n >= width)
+        .select(F.col(id_col), F.explode(spans).alias("s"))
+        .select(F.col(id_col), F.col("s.pos").alias("pos"), F.col("s.h").alias("__h"))
+    )
+    w = Window.partitionBy("__h")
+    order = Window.partitionBy("__h").orderBy(id_col, "pos")
+    return (
+        ex.withColumn("n_occurrences", F.count("*").over(w))
+        .withColumn("is_first", F.row_number().over(order) == 1)
+        .filter(F.col("n_occurrences") >= min_count)
+        .select(id_col, "pos", "n_occurrences", "is_first")
+    )

@@ -445,6 +445,113 @@ def test_near_dup_clusters_matches_serial_union_find(spark, docs_df):
     assert got["2"][0] == got["1"][0] == "1"
 
 
+def test_duplicated_spans_planted_and_edges(spark):
+    """Span-level dedup: a 6-token span planted in two docs (and twice in
+    one of them) is flagged at every occurrence with the global count;
+    is_first marks the (doc, pos)-least occurrence; docs shorter than the
+    window contribute nothing; unique text is never flagged."""
+    from sage_spark.operators.dedup import duplicated_spans
+
+    boiler = "subscribe to our newsletter for weekly updates"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            ("d1", f"alpha beta {boiler} gamma delta"),
+            ("d2", f"{boiler} unrelated tail words here now {boiler}"),
+            ("d3", "completely unique sentence with no repeated window at all"),
+            ("d4", "short doc"),
+        ],
+        "doc_id string, text string",
+    )
+    out = duplicated_spans(docs, "text", "doc_id", width=7, min_count=2).collect()
+    hits = {(r["doc_id"], r["pos"]): r for r in out}
+    # d1 pos 2, d2 pos 0, d2 pos 12: same 7-token window, 3 occurrences
+    assert set(hits) == {("d1", 2), ("d2", 0), ("d2", 12)}
+    assert all(r["n_occurrences"] == 3 for r in out)
+    assert hits[("d1", 2)]["is_first"] and not hits[("d2", 0)]["is_first"]
+    assert not hits[("d2", 12)]["is_first"]
+
+
+def test_duplicated_spans_stride_and_plan(spark):
+    """stride > 1 keeps only stride-aligned window starts (the explode-size
+    divisor for petabyte corpora), and the whole operator runs in ONE
+    shuffle — the window-hash partition for count + first-rank."""
+    from sage_spark.operators.dedup import duplicated_spans
+
+    text = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [("a", text), ("b", text)], "doc_id string, text string"
+    )
+    out = duplicated_spans(docs, "text", "doc_id", width=4, stride=2, min_count=2).collect()
+    assert {r["pos"] for r in out} == {0, 2, 4}
+    plan = (
+        duplicated_spans(docs, "text", "doc_id", width=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan  # pure JVM
+
+
+def test_mix_to_weights_exact_mixture(spark):
+    """Token-mixture sampling: kept mass per stratum lands within hash
+    noise of the target proportions, the binding stratum keeps (nearly)
+    everything, unlisted strata are dropped, and the integer thresholds
+    match a serial replay of the same BIGINT arithmetic."""
+    import hashlib
+
+    from sage_spark.operators.corpus import mix_to_weights
+
+    rows = []
+    # masses: a=30k, b=60k, c=90k, d=20k tokens (100 docs each, uniform)
+    for src, per_doc in (("a", 300), ("b", 600), ("c", 900), ("d", 200)):
+        for i in range(100):
+            rows.append((f"{src}{i}", src, per_doc))
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tokens long")
+    weights = {"a": 500_000, "b": 300_000, "c": 200_000}
+    out = mix_to_weights(df, weights, mass_col="n_tokens").collect()
+    kept_mass = {}
+    for r in out:
+        kept_mass[r["source"]] = kept_mass.get(r["source"], 0) + r["n_tokens"]
+    assert "d" not in kept_mass  # unlisted stratum dropped
+    # binding stratum: a (30k/0.5 = 60k budget, smallest) -> keeps ~all
+    assert kept_mass["a"] > 0.9 * 30_000
+    total = sum(kept_mass.values())
+    for src, w in weights.items():
+        assert abs(kept_mass[src] / total - w / 1e6) < 0.05, (src, kept_mass)
+    # serial replay of the threshold math + hash filter = identical set
+    masses = {"a": 30_000, "b": 60_000, "c": 90_000}
+    budget = min(m * 1_000_000 // weights[s] for s, m in masses.items())
+    expect = set()
+    for doc_id, src, _ in rows:
+        if src not in weights:
+            continue
+        thr = ((budget * weights[src] // 1_000_000) * 1_000_000) // masses[src]
+        h = int(hashlib.sha256(f"{src}|{doc_id}".encode()).hexdigest()[:8], 16) % 1_000_000
+        if h < thr:
+            expect.add(doc_id)
+    assert {r["doc_id"] for r in out} == expect
+
+
+def test_mix_to_weights_corpus_never_shuffles(spark):
+    """The corpus-side path must be a broadcast join + filter: the only
+    Exchange in the plan belongs to the #strata-sized mass aggregate, never
+    the corpus itself."""
+    from sage_spark.operators.corpus import mix_to_weights
+
+    df = spark.range(0, 1000).selectExpr(
+        "cast(id as string) as doc_id",
+        "concat('s', cast(id % 3 as string)) as source",
+        "100 + id % 7 as n_tokens",
+    )
+    plan = (
+        mix_to_weights(df, {"s0": 600_000, "s1": 400_000}, mass_col="n_tokens")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_xxhash64_matches_spark_bit_exactly(spark):
     """kernel/xxhash.py must reproduce Spark's xxhash64 on every length
     branch (empty, <4, <8, <32, >=32 bytes), multi-byte UTF-8, and longs —
