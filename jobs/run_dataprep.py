@@ -12,7 +12,9 @@ operators:
     5 exact dedup   min-id representative per hash     (operators/dedup.py)
     6 near dedup    MinHash-LSH candidate drop         (operators/dedup.py)
                     (+ optional exact-Jaccard verify, --verify-jaccard T;
-                     --cluster-dedup for transitive keep-one-per-component)
+                     --cluster-dedup for transitive keep-one-per-component;
+                     --clip-spans W for span-level removal of repeated
+                     W-token windows inside surviving docs)
     7 decontam      benchmark n-gram overlap drop      (operators/decontam.py)  [optional]
     8 pack          concat-and-chunk window layout     (operators/packing.py)
 
@@ -47,6 +49,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from sage_spark.operators.boilerplate import strip_boilerplate  # noqa: E402
 from sage_spark.operators.decontam import decontaminate  # noqa: E402
 from sage_spark.operators.dedup import (  # noqa: E402
+    clip_duplicate_spans,
     cluster_dedup,
     exact_dedup,
     minhash_lsh_candidates,
@@ -82,6 +85,12 @@ def main() -> None:
         "--verify-jaccard", type=float, default=None, metavar="T",
         help="verify LSH candidates with exact shingle Jaccard and drop only "
              "pairs >= T (one extra candidate-sized join; cuts LSH false-positive drops)",
+    )
+    ap.add_argument(
+        "--clip-spans", type=int, default=None, metavar="W",
+        help="span-level dedup after document dedup: remove every non-first "
+             "occurrence of a W-token window repeated anywhere in the surviving "
+             "corpus (output text becomes the normalized token stream)",
     )
     ap.add_argument(
         "--cluster-dedup", action="store_true",
@@ -139,6 +148,14 @@ def main() -> None:
             drop = pairs.select(F.col("id_b").alias("__sid")).distinct()
             kept = sided.join(drop, "__sid", "left_anti").drop("__sid")
         counts["near_dedup"] = kept.count()
+
+    if args.clip_spans:
+        # span-level pass AFTER document-level dedup: the corpus keeps one
+        # copy of every repeated clip_spans-token window
+        kept = clip_duplicate_spans(
+            kept, "text", "doc_id", width=args.clip_spans, out_col="text"
+        ).localCheckpoint(eager=True)
+        counts["span_clip"] = kept.count()
 
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)

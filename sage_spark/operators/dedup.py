@@ -475,3 +475,59 @@ def duplicated_spans(
         .filter(F.col("n_occurrences") >= min_count)
         .select(id_col, "pos", "n_occurrences", "is_first")
     )
+
+
+def clip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    width: int = 20,
+    stride: int = 1,
+    min_count: int = 2,
+    out_col: str = "text_clipped",
+) -> DataFrame:
+    """Remove every NON-FIRST occurrence of a duplicated window from each
+    document's token stream — the removal pass over ``duplicated_spans``
+    flags (the corpus keeps exactly one copy of each repeated span).
+    Overlapping removed windows union naturally (a token survives iff no
+    removed window covers it), so no interval-merge pass is needed.
+
+    Output is the surviving tokens joined by single spaces: span clipping
+    operates on the normalized token stream (the standard form for
+    training corpora) — original whitespace/punctuation between tokens is
+    not reconstructed.
+
+    Scale shape: one ``duplicated_spans`` pass (a single shuffle), the
+    non-first flags aggregated per doc (bounded by each doc's flagged-span
+    count, never its length), broadcast-or-hash joined back, and the
+    clipping itself is a JVM-side array expression — no Python, no second
+    corpus shuffle beyond the per-doc flag aggregation."""
+    flags = duplicated_spans(
+        df, text_col, id_col, width=width, stride=stride, min_count=min_count
+    )
+    removed = (
+        flags.filter(~F.col("is_first"))
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__rm"))
+    )
+    toks = df.withColumn(
+        "__toks",
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[A-Za-z0-9]+"), F.lit(0)),
+    )
+    joined = toks.join(removed, id_col, "left").withColumn(
+        "__rm", F.coalesce(F.col("__rm"), F.array().cast("array<bigint>"))
+    )
+    idxs = F.sequence(F.lit(0), F.size("__toks") - 1)
+    survivors = F.filter(
+        idxs,
+        lambda i: ~F.exists(
+            F.col("__rm"), lambda s: (i.cast("long") >= s) & (i.cast("long") < s + width)
+        ),
+    )
+    clipped = F.array_join(
+        F.transform(survivors, lambda i: F.element_at(F.col("__toks"), i + 1)), " "
+    )
+    return joined.withColumn(
+        out_col, F.when(F.size("__toks") > 0, clipped).otherwise(F.lit(""))
+    ).drop("__toks", "__rm")

@@ -493,6 +493,40 @@ def test_duplicated_spans_stride_and_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan  # pure JVM
 
 
+def test_clip_duplicate_spans_removes_non_first_only(spark):
+    """The removal pass keeps exactly one copy of each repeated span
+    corpus-wide: the first (doc, pos)-least occurrence survives, every
+    other is cut from the token stream; untouched docs come through as
+    their normalized token join; empty docs yield ''."""
+    from sage_spark.operators.dedup import clip_duplicate_spans
+
+    boiler = "subscribe to our newsletter for weekly updates"
+    docs = spark.createDataFrame(
+        [
+            ("d1", f"alpha beta {boiler} gamma delta"),
+            ("d2", f"{boiler} unrelated tail words here now {boiler}"),
+            ("d3", "Unique Sentence, with punctuation!"),
+            ("d4", ""),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r["text_clipped"]
+           for r in clip_duplicate_spans(docs, "text", "doc_id", width=7).collect()}
+    assert out["d1"] == f"alpha beta {boiler} gamma delta"  # first occurrence kept
+    assert out["d2"] == "unrelated tail words here now"  # both non-first copies cut
+    assert out["d3"] == "unique sentence with punctuation"  # normalized token join
+    assert out["d4"] == ""
+    # overlap union: two overlapping duplicated windows clip as one region
+    o1 = "zero one two three four five six seven eight nine"
+    docs2 = spark.createDataFrame(
+        [("a", o1), ("b", o1), ("c", "x y " + o1)], "doc_id string, text string"
+    )
+    out2 = {r["doc_id"]: r["text_clipped"]
+            for r in clip_duplicate_spans(docs2, "text", "doc_id", width=4).collect()}
+    assert out2["a"] == o1  # every window's first occurrence lives in 'a'
+    assert out2["b"] == "" and out2["c"] == "x y"
+
+
 def test_mix_to_weights_exact_mixture(spark):
     """Token-mixture sampling: kept mass per stratum lands within hash
     noise of the target proportions, the binding stratum keeps (nearly)

@@ -669,6 +669,32 @@ def test_dataprep_job_end_to_end(spark, tmp_path):
     cand3 = minhash_lsh_candidates(sided3, "text", "__sid", bands=8, num_hashes=64)
     assert cand3.count() == 0
 
+    # --clip-spans: span-level removal edits text in place, never drops a
+    # doc; token mass can only shrink; the pack manifest still tiles the
+    # (clipped) stream exactly.
+    out4 = tmp_path / "prep_clipped"
+    proc4 = subprocess.run(
+        [
+            sys.executable, "jobs/run_dataprep.py",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(out4),
+            "--clip-spans", "10",
+        ],
+        capture_output=True, text=True, timeout=500, check=True, cwd="/root/repo",
+    )
+    summary4 = json.loads([l for l in proc4.stdout.splitlines() if l.startswith("{")][-1])
+    assert summary4["span_clip"] == summary4["near_dedup"]  # row-preserving
+    corpus4 = spark.read.parquet(str(out4 / "corpus"))
+    ids4 = {r["doc_id"] for r in corpus4.select("doc_id").collect()}
+    assert ids4 == ids1  # same survivor set as the plain run
+    # clipped corpus never has MORE tokens than the unclipped survivors
+    tok = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[A-Za-z0-9]+"), F.lit(0)))
+    before = corpus.agg(F.sum(tok)).collect()[0][0]
+    after = corpus4.agg(F.sum(tok)).collect()[0][0]
+    assert 0 < after <= before
+    packs4 = spark.read.parquet(str(out4 / "packs"))
+    assert packs4.agg(F.sum("n_tokens")).collect()[0][0] == summary4["total_tokens"] == after
+
 
 def test_store_append_recovers_crashed_swap_and_empty_upsert_noop(spark, tmp_path):
     """(a) append() into the crashed-swap window (table path absent, the
