@@ -38,7 +38,11 @@ def main() -> None:
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--run-ts", default=None, help="ISO processing anchor (defaults to now)")
     ap.add_argument("--lang", default="en")
-    ap.add_argument("--input-format", default="parquet", choices=["parquet", "jsonl", "json"])
+    ap.add_argument(
+        "--input-format", default="parquet",
+        choices=["parquet", "jsonl", "json", "table", "iceberg"],
+        help="'table'/'iceberg' resolve --input as a catalog table identifier",
+    )
     ap.add_argument("--embed-chunks", action="store_true")
     ap.add_argument("--synthetic", type=int, default=0, help="generate N synthetic docs instead of --input")
     ap.add_argument(

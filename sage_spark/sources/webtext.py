@@ -80,10 +80,27 @@ def write_webtext_jsonl(webtext: DataFrame, path: str) -> None:
     out.write.mode("overwrite").json(path)
 
 
+def read_webtext_table(spark: SparkSession, identifier: str) -> DataFrame:
+    """Catalog-table read — the Iceberg deployment path. ``identifier`` is a
+    table name resolved through the session catalog (e.g.
+    ``iceberg_cat.crawl.webtext`` with the Iceberg runtime on the
+    classpath); partition pruning, snapshot isolation and column pruning
+    come from the table format. The projection pins the canonical column
+    set/order so a wider production table (crawl metadata sidecars etc.)
+    still yields the engine's exact input schema; same-type casts are
+    Catalyst-eliminated and never block pushdown."""
+    df = spark.read.table(identifier)
+    return df.select(
+        *[F.col(field.name).cast(field.dataType).alias(field.name) for field in WEBTEXT_SCHEMA.fields]
+    )
+
+
 def read_webtext(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """Format-dispatching reader for jobs/run_kg.py --input."""
     if fmt == "parquet":
         return spark.read.schema(WEBTEXT_SCHEMA).parquet(path)
     if fmt in ("jsonl", "json"):
         return read_webtext_jsonl(spark, path)
+    if fmt in ("table", "iceberg"):
+        return read_webtext_table(spark, path)
     raise ValueError(f"unsupported webtext format: {fmt}")

@@ -345,6 +345,34 @@ def test_jsonl_webtext_source_round_trips(spark, tmp_path):
     assert docs_a == docs_b
 
 
+def test_catalog_table_webtext_source(spark):
+    """The Iceberg deployment path reads --input as a catalog table
+    identifier (sources/webtext.read_webtext_table). Verified against a
+    session-catalog managed table: a WIDER table (extra crawl-metadata
+    column) must come back as exactly the canonical schema with identical
+    values — the projection pins the engine's input contract regardless of
+    what else production lands in the table."""
+    from sage_spark.schema import WEBTEXT_SCHEMA
+    from sage_spark.sources.webtext import read_webtext
+
+    webtext, _ = synth_webtext(spark, 30, n_persons=8, seed=21, partitions=2)
+    wide = webtext.withColumn("crawl_segment", F.xxhash64("url"))
+    table = "webtext_catalog_src_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        wide.write.saveAsTable(table)
+        back = read_webtext(spark, table, "table")
+        assert [f.name for f in back.schema.fields] == [f.name for f in WEBTEXT_SCHEMA.fields]
+        assert "crawl_segment" not in back.columns
+        a = sorted(webtext.collect(), key=lambda r: r["url"])
+        b = sorted(back.collect(), key=lambda r: r["url"])
+        assert len(a) == len(b) > 0
+        for ra, rb in zip(a, b):
+            assert ra.asDict() == rb.asDict(), ra["url"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_bucketed_store_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     """Hash-bucketed layout (the parquet analog of Iceberg MERGE): an
     incremental upsert must leave untouched __bucket=K dirs byte-identical
