@@ -763,3 +763,61 @@ def test_store_append_recovers_crashed_swap_and_empty_upsert_noop(spark, tmp_pat
     assert (tmp_path / "bstore" / "b.__tmp__" / LAYOUT_FILE).exists()
     bstore.upsert(spark.createDataFrame([("b", 2)], "k string, v int"), "b", ["k"])
     assert bstore.read(spark, "b").count() == 2
+
+
+def test_maintain_job_end_to_end(spark, tmp_path):
+    """jobs/run_maintain.py over a jobs/run_kg.py store: the impact analysis
+    must classify every promotable batch claim exactly once, seed the BFS
+    with the non-confirmed entities (depth 0 == changed_entities), stay
+    strictly read-only on the store, and write the three analysis tables."""
+    import json
+    import subprocess
+    import sys
+
+    kg = tmp_path / "kgm"
+    subprocess.run(
+        [
+            sys.executable, "jobs/run_kg.py", "--synthetic", "400",
+            "--store", str(kg), "--run-id", "m1",
+            "--run-ts", "2026-05-01T00:00:00+00:00",
+        ],
+        capture_output=True, text=True, timeout=500, check=True, cwd="/root/repo",
+    )
+    before = sorted((p.relative_to(kg), p.stat().st_size) for p in kg.rglob("*") if p.is_file())
+
+    out = tmp_path / "maint"
+    proc = subprocess.run(
+        [
+            sys.executable, "jobs/run_maintain.py",
+            "--store", str(kg), "--synthetic", "800", "--output", str(out),
+            "--run-ts", "2026-05-02T00:00:00+00:00",
+        ],
+        capture_output=True, text=True, timeout=500, check=True, cwd="/root/repo",
+    )
+    summary = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+
+    # read-only contract: byte-for-byte identical store file listing
+    after = sorted((p.relative_to(kg), p.stat().st_size) for p in kg.rglob("*") if p.is_file())
+    assert before == after
+
+    # the 800-doc batch extends the 400-doc store's deterministic corpus:
+    # genuinely new docs, plus claims that restate live facts
+    assert summary["batch_docs"] > 0
+    diff = spark.read.parquet(str(out / "diff"))
+    assert diff.count() == sum(summary["diff"].values()) > 0
+    assert set(summary["diff"]) <= {"added", "confirmed", "contradicted"}
+    assert summary["diff"].get("confirmed", 0) > 0
+    assert diff.groupBy("claim_id").count().filter("count > 1").count() == 0
+    # confirmations carry their matched fact, additions never do
+    assert diff.filter((F.col("change") == "confirmed") & F.col("existing_fact_id").isNull()).count() == 0
+    assert diff.filter((F.col("change") == "added") & F.col("existing_fact_id").isNotNull()).count() == 0
+
+    impacted = spark.read.parquet(str(out / "impacted_entities"))
+    assert summary["impacted_by_depth"]["0"] == summary["changed_entities"] > 0
+    assert impacted.count() == sum(summary["impacted_by_depth"].values())
+
+    affected = spark.read.parquet(str(out / "affected_documents"))
+    assert affected.count() == summary["affected_documents"] > 0
+    # affected docs are store documents by construction (semi-join over store claims)
+    store_docs = spark.read.parquet(str(kg / "documents")).select("doc_id")
+    assert affected.join(store_docs, "doc_id", "left_anti").count() == 0
