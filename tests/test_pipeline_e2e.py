@@ -821,3 +821,53 @@ def test_maintain_job_end_to_end(spark, tmp_path):
     # affected docs are store documents by construction (semi-join over store claims)
     store_docs = spark.read.parquet(str(kg / "documents")).select("doc_id")
     assert affected.join(store_docs, "doc_id", "left_anti").count() == 0
+
+
+def test_kg_stream_job_end_to_end(spark, tmp_path):
+    """jobs/run_kg_stream.py drain mode: first invocation ingests the files
+    present, a second invocation with a NEW file ingests only that file
+    (streaming checkpoint resume), and a third with nothing new is a no-op
+    on every store count."""
+    import json
+    import subprocess
+    import sys
+
+    from sage_spark.datagen import synth_webtext
+
+    webtext, persons_df = synth_webtext(spark, 120, n_persons=12, seed=9)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    persons_path = tmp_path / "persons.parquet"
+    persons_df.write.parquet(str(persons_path))
+    first = webtext.filter(F.xxhash64("url") % 2 == 0)
+    second = webtext.filter(F.xxhash64("url") % 2 != 0)
+    first.coalesce(1).write.parquet(str(tmp_path / "b1"))
+    second.coalesce(1).write.parquet(str(tmp_path / "b2"))
+    parts1 = list((tmp_path / "b1").glob("part-*.parquet"))
+    parts2 = list((tmp_path / "b2").glob("part-*.parquet"))
+    assert parts1 and parts2
+    parts1[0].rename(drop / "f1.parquet")
+
+    def drain() -> dict:
+        proc = subprocess.run(
+            [
+                sys.executable, "jobs/run_kg_stream.py",
+                "--input-dir", str(drop),
+                "--store", str(tmp_path / "store"),
+                "--checkpoint", str(tmp_path / "ckpt"),
+                "--persons", str(persons_path),
+            ],
+            capture_output=True, text=True, timeout=500, check=True, cwd="/root/repo",
+        )
+        return json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+
+    s1 = drain()
+    assert s1["batches"] == 1 and s1["documents_total"] > 0
+
+    parts2[0].rename(drop / "f2.parquet")
+    s2 = drain()
+    assert s2["batches"] == 2
+    assert s2["documents_total"] > s1["documents_total"]
+
+    s3 = drain()
+    assert s3 == s2
