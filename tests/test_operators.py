@@ -200,6 +200,37 @@ def test_language_id(spark, docs_df):
     assert rows[6] == "fr"
 
 
+def test_marker_hits_regexp_count_matches_token_membership(spark):
+    """The single-pass regexp_count form of _marker_hits must count exactly
+    the ASCII [a-z]+ tokens that are marker words — pinned against the
+    tokenize-then-filter reference form on adversarial inputs (digit/ünicode
+    neighbors, punctuation, overlapping words, empty text)."""
+    from pyspark.sql import functions as F
+
+    from sage_spark.operators.textstats import _LANG_MARKERS, _marker_hits
+
+    texts = [
+        "the and of to is in that it for was",      # all ten en markers
+        "The THE tHe",                               # case folding
+        "1the1 xthex a-the-b über the",              # digit/alpha/unicode neighbors
+        "für der die und das",                       # de incl. the non-ASCII marker
+        "an and land the theory other",              # overlap/substring traps
+        "",                                          # empty
+        "no markers here whatsoever",
+        "el la los y es una para en que no",         # es (en/es share words)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+
+    def reference_hits(col, words):
+        tokens = F.regexp_extract_all(F.lower(col), F.lit("[a-z]+"), F.lit(0))
+        return F.size(F.filter(tokens, lambda t: t.isin(words)))
+
+    for lang, words in _LANG_MARKERS.items():
+        got = df.select("doc_id", _marker_hits(F.col("text"), words).alias("n")).collect()
+        want = df.select("doc_id", reference_hits(F.col("text"), words).alias("n")).collect()
+        assert {r["doc_id"]: r["n"] for r in got} == {r["doc_id"]: r["n"] for r in want}, lang
+
+
 def test_quality_stats_bounds(spark, docs_df):
     rows = with_quality_stats(docs_df, "text").collect()
     for r in rows:
