@@ -231,6 +231,33 @@ def test_marker_hits_regexp_count_matches_token_membership(spark):
         assert {r["doc_id"]: r["n"] for r in got} == {r["doc_id"]: r["n"] for r in want}, lang
 
 
+def test_count_forms_match_materializing_forms(spark):
+    """token_count / alpha / upper / punct as regexp_count must equal the
+    array- and string-materializing reference forms on edge-case rows."""
+    from pyspark.sql import functions as F
+
+    from sage_spark.operators.textstats import TOKEN_PATTERN, token_count
+
+    texts = ["", "   ", "a", "A1b2 C3!?", "über straße", "..,,;;::!!??", "word " * 50, "123 456"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    col = F.col("text")
+    got = df.select(
+        "doc_id",
+        token_count(col).alias("toks"),
+        F.regexp_count(col, F.lit("[A-Za-z]")).alias("alpha"),
+        F.regexp_count(col, F.lit("[A-Z]")).alias("upper"),
+        F.regexp_count(col, F.lit("[.,;:!?]")).alias("punct"),
+    ).collect()
+    want = df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), F.lit(0))).alias("toks"),
+        F.length(F.regexp_replace(col, "[^A-Za-z]", "")).alias("alpha"),
+        F.length(F.regexp_replace(col, "[^A-Z]", "")).alias("upper"),
+        F.length(F.regexp_replace(col, "[^.,;:!?]", "")).alias("punct"),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 def test_quality_stats_bounds(spark, docs_df):
     rows = with_quality_stats(docs_df, "text").collect()
     for r in rows:
