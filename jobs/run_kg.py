@@ -50,6 +50,20 @@ def main() -> None:
         help="hash-bucket the store tables so upserts rewrite only touched "
              "buckets (0 = legacy whole-table rewrite)",
     )
+    ap.add_argument(
+        "--publish-catalog", default=None, metavar="NAMESPACE",
+        help="after the run, materialize the store tables as catalog tables "
+             "under this namespace (the north rule's node/edge table output)",
+    )
+    ap.add_argument(
+        "--publish-format", default="parquet",
+        help="table provider for --publish-catalog; 'iceberg' when an "
+             "Iceberg catalog + runtime jar are configured on the cluster",
+    )
+    ap.add_argument(
+        "--publish-tables", default=None,
+        help="comma-separated subset to publish (default: every store table)",
+    )
     args = ap.parse_args()
 
     run_ts = args.run_ts or datetime.now(timezone.utc).isoformat()
@@ -89,6 +103,16 @@ def main() -> None:
         f"claims={result.claims} facts_current={result.facts_current} "
         f"superseded={result.facts_superseded} conflicts={result.conflicts} edges={result.edges}"
     )
+
+    if args.publish_catalog:
+        from sage_spark.sinks.catalog import publish_store_tables
+
+        subset = args.publish_tables.split(",") if args.publish_tables else None
+        published = publish_store_tables(
+            spark, store, args.publish_catalog, fmt=args.publish_format, tables=subset
+        )
+        counts = " ".join(f"{t}={n}" for t, n in sorted(published.items()))
+        print(f"published {args.publish_catalog} ({args.publish_format}): {counts}")
 
 
 if __name__ == "__main__":

@@ -50,6 +50,17 @@ class TableStore:
         self._recover(table)
         return self.path(table).exists()
 
+    def list_tables(self) -> list[str]:
+        """Published table names: every table dir in the store root, with
+        swap/compaction staging dirs (``name.__tmp__`` etc.) and hidden
+        working dirs (``_staging`` and friends — the parquet hidden-path
+        convention) excluded."""
+        return sorted(
+            p.name
+            for p in self.root.iterdir()
+            if p.is_dir() and ".__" not in p.name and not p.name.startswith(("_", "."))
+        )
+
     # -- crash recovery ----------------------------------------------------
     def _recover(self, table: str) -> None:
         """Heal the two-step swap windows (overwrite/compact rename the old
