@@ -407,11 +407,11 @@ def expected_minhash_candidates(
     xxhash64 -> mersenne-field hash family minima -> banded bucket ids ->
     within-bucket pairs (sorted, capped). Differentially checks the whole
     signature/banding plan including Spark's ANSI long arithmetic."""
-    from ..operators.dedup import _hash_family
+    from .minhash import hash_family
     from .xxhash import spark_xxhash64
 
     rows_per_band = num_hashes // bands
-    family = [_hash_family(i) for i in range(num_hashes)]
+    family = [hash_family(i) for i in range(num_hashes)]
     buckets: dict[tuple[int, int], list[str]] = {}
     for doc_id, text in docs:
         hs = [spark_xxhash64(s) % _MERSENNE31 for s in _char_shingles(text, shingle_len)]

@@ -19,18 +19,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..kernel.minhash import MERSENNE31, hash_family
 from .textstats import char_ngrams
 
 # (a*x+b) mod 2^31-1 minhash family. The field is 31-bit so every
 # intermediate product stays < 2^62 and never overflows a Spark LongType
-# under ANSI arithmetic. Constants are fixed so results are reproducible.
-_MERSENNE = (1 << 31) - 1
-
-
-def _hash_family(seed: int) -> tuple[int, int]:
-    a = (0x9E3779B97F4A7C15 * (seed + 1)) % _MERSENNE
-    b = (0xC2B2AE3D27D4EB4F * (seed + 7)) % _MERSENNE
-    return (a or 1), b
+# under ANSI arithmetic. Constants live in kernel/minhash.py (the single
+# source shared by the JVM form, the Arrow kernel, and the oracle replay).
+_MERSENNE = MERSENNE31
+_hash_family = hash_family
 
 
 def normalized_text(col: Column) -> Column:
@@ -64,20 +61,33 @@ def minhash_signature_wide(
     *,
     shingle_len: int = 5,
     num_hashes: int = 64,
+    impl: str = "arrow",
 ) -> DataFrame:
     """MinHash signature as ``num_hashes`` concrete columns mh_0..mh_{n-1}.
 
-    Shape: explode shingles -> one xxhash per shingle row -> ONE groupBy with
-    num_hashes min() aggregates. All JVM-side; crucially the signature lands
-    in *materialized* aggregate columns, so downstream band expressions
-    reference cheap attributes instead of re-inlining the whole shingle
-    pipeline per reference (which blows up codegen — 100x slowdowns)."""
-    # The shingle explode multiplies rows ~300x; a small input file arrives
-    # as one split and would run it single-threaded — spread it first.
+    ``impl="arrow"`` (default): one vectorized numpy kernel per Arrow batch
+    (kernel/minhash.py) — shingle windows, the bit-exact XXH64, and the
+    family mins all evaluated as matrix ops, no per-shingle anything.
+    Measured at 120k docs (local[16], warm): signature 13.8 s -> ~3 s; the
+    native form spends ~half its time in the interpreted HOF ``transform``
+    that builds the shingle array (~1500 substr lambda calls per doc).
+
+    ``impl="native"``: the all-JVM form — explode shingles -> one xxhash per
+    shingle row -> ONE groupBy with num_hashes min() aggregates, signature
+    landing in *materialized* aggregate columns so downstream band
+    expressions reference cheap attributes instead of re-inlining the whole
+    shingle pipeline per reference (which blows up codegen — 100x
+    slowdowns). Kept as the pure-JVM reference; the equivalence of the two
+    forms is pinned by tests/test_operators.py on corpus + edge cases."""
+    # A small input file arrives as one split and would run the signature
+    # single-threaded (the native explode multiplies rows ~300x; the Arrow
+    # kernel batches per partition) — spread it first.
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
         df = df.repartition(target)
+    if impl == "arrow":
+        return _minhash_signature_arrow(df, text_col, id_col, shingle_len, num_hashes)
     shingle_rows = df.select(
         F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_len))).alias("__sh")
     ).select(F.col(id_col), F.pmod(F.xxhash64("__sh"), F.lit(_MERSENNE)).alias("__h"))
@@ -86,6 +96,37 @@ def minhash_signature_wide(
         a, b = _hash_family(i)
         aggs.append(F.min((F.col("__h") * F.lit(a) + F.lit(b)) % _MERSENNE).alias(f"mh_{i}"))
     return shingle_rows.groupBy(id_col).agg(*aggs)
+
+
+def _minhash_signature_arrow(
+    df: DataFrame, text_col: str, id_col: str, shingle_len: int, num_hashes: int
+) -> DataFrame:
+    """mapInPandas signature: map-side only (zero Exchange beyond the input
+    spread), Arrow-batched, ~25 numpy matrix ops per batch per lane."""
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [T.StructField(id_field.name, id_field.dataType, id_field.nullable)]
+        + [T.StructField(f"mh_{i}", T.LongType(), False) for i in range(num_hashes)]
+    )
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..kernel.minhash import family_matrix, signature
+
+        a, b = family_matrix(num_hashes)
+        for pdf in batches:
+            sigs = np.empty((len(pdf), num_hashes), dtype=np.int64)
+            for j, text in enumerate(pdf[text_col].tolist()):
+                sigs[j] = signature(text, shingle_len, a, b)
+            out = {id_col: pdf[id_col]}
+            out.update({f"mh_{i}": sigs[:, i] for i in range(num_hashes)})
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(compute, out_schema)
 
 
 def with_minhash(

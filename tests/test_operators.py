@@ -94,6 +94,48 @@ def test_minhash_signature_deterministic(spark, docs_df):
     assert [r["minhash"] for r in a] == [r["minhash"] for r in b]
 
 
+def test_minhash_arrow_matches_native_jvm(spark, docs_df):
+    """The Arrow signature kernel must be bit-identical to the all-JVM
+    explode+agg form — on the fixture corpus AND on adversarial rows:
+    sub-shingle-length docs, empty text, unicode whitespace (U+00A0 must
+    NOT collapse — Java \\s is ASCII-only), multi-byte letters (serial
+    fallback path), duplicate-heavy text."""
+    from pyspark.sql import functions as F
+
+    from sage_spark.operators.dedup import minhash_signature_wide
+
+    tricky = spark.createDataFrame(
+        [
+            (101, ""),
+            (102, "ab"),
+            (103, "exact"),
+            (104, "x\xa0y has a no-break space neighbor"),
+            (105, "ünicode straße text with müLTI-byte letters"),
+            (106, "spam " * 200),
+            (107, "Tabs\tand\nnewlines\x0band\fforms\rcollapse"),
+        ],
+        "doc_id int, text string",
+    )
+    df = docs_df.select("doc_id", "text").unionByName(tricky)
+    arrow = minhash_signature_wide(df, "text", "doc_id", impl="arrow").orderBy("doc_id").collect()
+    native = minhash_signature_wide(df, "text", "doc_id", impl="native").orderBy("doc_id").collect()
+    assert [tuple(r) for r in arrow] == [tuple(r) for r in native]
+
+
+def test_minhash_arrow_plan_is_mapside(spark, docs_df):
+    """The Arrow signature must run as a vectorized mapInPandas stage with
+    no shuffle of its own: exactly the input-spread Exchange (if any) and
+    never a row-at-a-time BatchEvalPython."""
+    from sage_spark.operators.dedup import minhash_signature_wide
+
+    plan = minhash_signature_wide(docs_df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    # the native form's signature aggregate shuffles on doc_id; the kernel
+    # form must not introduce any aggregate exchange
+    assert "HashAggregate" not in plan
+
+
 def test_ngram_jaccard(spark, docs_df):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs_df, threshold=0.5).collect()}
     assert pairs[(1, 3)] == 1.0
