@@ -96,7 +96,9 @@ def _shingle_hashes(text: str | None, shingle_len: int) -> np.ndarray:
     if len(s) < shingle_len:
         return np.array([spark_xxhash64(s) % MERSENNE31], dtype=np.int64)
     b = s.encode("utf-8")
-    if _LITTLE and len(b) == len(s):  # pure ASCII: byte windows ARE char windows
+    # pure ASCII: byte windows ARE char windows; xxh64_rows is short-input
+    # only (width < 32), so wide shingles take the serial walk below
+    if _LITTLE and len(b) == len(s) and shingle_len < 32:
         windows = np.lib.stride_tricks.sliding_window_view(
             np.frombuffer(b, dtype=np.uint8), shingle_len
         )

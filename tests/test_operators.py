@@ -120,6 +120,13 @@ def test_minhash_arrow_matches_native_jvm(spark, docs_df):
     arrow = minhash_signature_wide(df, "text", "doc_id", impl="arrow").orderBy("doc_id").collect()
     native = minhash_signature_wide(df, "text", "doc_id", impl="native").orderBy("doc_id").collect()
     assert [tuple(r) for r in arrow] == [tuple(r) for r in native]
+    # shingles >= 32 bytes exceed the vectorized XXH64's short-input path;
+    # the kernel must route them to the serial walk, not assert
+    wide_a = minhash_signature_wide(df, "text", "doc_id", shingle_len=40, num_hashes=8, impl="arrow")
+    wide_n = minhash_signature_wide(df, "text", "doc_id", shingle_len=40, num_hashes=8, impl="native")
+    assert [tuple(r) for r in wide_a.orderBy("doc_id").collect()] == [
+        tuple(r) for r in wide_n.orderBy("doc_id").collect()
+    ]
 
 
 def test_minhash_arrow_plan_is_mapside(spark, docs_df):
