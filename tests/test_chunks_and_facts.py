@@ -422,3 +422,28 @@ def test_sentence_embedder_loads_model_via_import(monkeypatch):
     fb = embed_mod.SentenceEmbedder()
     assert fb._model is None and fb.dim == embed_mod.DEFAULT_DIM
     assert fb.encode(["z"])[0] == embed_mod.hash_embedding("z", embed_mod.DEFAULT_DIM)
+
+
+def test_records_nullsafe_matches_pandas_form():
+    """The columnar record walk must emit EXACTLY the records of the pandas
+    astype(object)+where(notnull)+to_dict form it replaced — across float
+    NaN, None-in-object, nullable bool, list-valued cells, and an empty
+    frame."""
+    import numpy as np
+    import pandas as pd
+
+    from sage_spark.operators.canonicalize import _records_nullsafe
+
+    batch = pd.DataFrame(
+        {
+            "s": ["a", None, "c", ""],
+            "f": [1.5, np.nan, 0.0, -2.25],
+            "i": np.array([1, 2, 3, 4], dtype=np.int64),
+            "b": pd.array([True, None, False, True], dtype=object),
+            "arr": [[0.1, 0.2], None, [], [3.0]],
+        }
+    )
+    expect = batch.astype(object).where(pd.notnull(batch), None).to_dict("records")
+    assert _records_nullsafe(batch) == expect
+    empty = batch.iloc[0:0]
+    assert _records_nullsafe(empty) == []
