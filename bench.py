@@ -397,6 +397,24 @@ def main() -> None:
             if ctl >= ctl_target:
                 break
         prep1["window_control"] = round(prep1_ctl, 3)
+        # opt-in 100x sweep (SAGE_BENCH_SF10=1): one kg run at 100x the
+        # headline corpus. Off by default — it adds minutes and needs a
+        # quiet host window; the recorded evidence lives in BASELINE.md
+        # ("Round-5 sf10 sweep"). Needs SAGE_SPARK_DRIVER_MEM >= 64g: the
+        # checkpointed 1.2M-doc corpus blows the 16g default heap into GC
+        # churn (measured 2.7x on extract_claims).
+        if os.environ.get("SAGE_BENCH_SF10", "0") == "1":
+            ctl10 = _window_control(ctl_procs)
+            kg10 = run_kg_bench(spark, 100 * kg_docs)
+            sf1_block_extra = {
+                "docs": kg10["kg_docs"],
+                "seconds": round(kg10["kg_seconds"], 3),
+                "docs_per_sec": round(kg10["docs_per_sec"], 1),
+                "stages": kg10["stages"],
+                "window_control": round(ctl10, 3),
+            }
+        else:
+            sf1_block_extra = None
         sf1_block = {
             "kg": {
                 "docs": kg1["kg_docs"],
@@ -408,6 +426,8 @@ def main() -> None:
             "dataprep": prep1,
             "rate_vs_headline": round(kg1["docs_per_sec"] / kg["docs_per_sec"], 3),
         }
+        if sf1_block_extra is not None:
+            sf1_block["kg_100x"] = sf1_block_extra
 
     total = round(sum(timings.values()), 3)
     out = {
