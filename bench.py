@@ -250,6 +250,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     kg_docs = int(os.environ.get("SAGE_BENCH_KG_DOCS", "12000"))
+    if os.environ.get("SAGE_BENCH_SF10", "0") == "1":
+        # the 100x corpus GC-churns the 16g default heap (measured 2.7x on
+        # extract_claims); default it up unless the caller chose a size
+        os.environ.setdefault("SAGE_SPARK_DRIVER_MEM", "96g")
     spark = build_spark(app_name="sage-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
