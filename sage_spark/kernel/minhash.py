@@ -105,8 +105,37 @@ def _shingle_hashes(text: str | None, shingle_len: int) -> np.ndarray:
         h = xxh64_rows(windows).view(np.int64)
         # dups don't change the family mins; unique only shrinks the matrix
         return np.unique(np.remainder(h, MERSENNE31))
+    if _LITTLE and shingle_len * 4 < 32:
+        return _multibyte_hashes(b, shingle_len)
     hs = {spark_xxhash64(s[i : i + shingle_len]) % MERSENNE31 for i in range(len(s) - shingle_len + 1)}
     return np.fromiter(hs, dtype=np.int64, count=len(hs))
+
+
+def _multibyte_hashes(b: bytes, shingle_len: int) -> np.ndarray:
+    """Vectorized shingle hashes for non-ASCII text — multilingual web
+    corpora would otherwise pay a serial Python XXH64 per shingle.
+
+    Character starts are the UTF-8 lead bytes ((b & 0xC0) != 0x80, one per
+    code point — Python strings have no surrogates), so shingle i spans
+    bytes [start[i], start[i+shingle_len]). Window widths vary with the
+    characters' encoded lengths (shingle_len..4*shingle_len bytes); group
+    the shingles by width and run each class as ONE fixed-width matrix
+    through xxh64_rows — identical bytes, identical hashes, ~number-of-
+    distinct-widths kernel calls instead of one Python hash per shingle."""
+    arr = np.frombuffer(b, dtype=np.uint8)
+    starts = np.flatnonzero((arr & 0xC0) != 0x80)
+    n = len(starts) - shingle_len + 1  # len(s) >= shingle_len was checked
+    ends = np.empty(n, dtype=np.int64)
+    ends[:-1] = starts[shingle_len:]
+    ends[-1] = len(arr)
+    begins = starts[:n]
+    widths = ends - begins
+    out = np.empty(n, dtype=np.int64)
+    for w in np.unique(widths):
+        idx = np.flatnonzero(widths == w)
+        rows = arr[begins[idx][:, None] + np.arange(w)[None, :]]
+        out[idx] = xxh64_rows(rows).view(np.int64)
+    return np.unique(np.remainder(out, MERSENNE31))
 
 
 def family_matrix(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:

@@ -1046,3 +1046,41 @@ def test_contract_registry_fits_driver_window():
     oracles = entrymod.oracle_sql()
     missing = [k for k in q if k not in oracles]
     assert not missing, f"queries with no oracle: {missing}"
+
+
+def test_minhash_multibyte_vectorized_matches_serial():
+    """The width-bucketed multibyte shingle path must produce exactly the
+    serial per-shingle XXH64 set — across CJK, emoji (4-byte), combining
+    marks, mixed ASCII/multibyte boundaries, and random unicode fuzz."""
+    import numpy as np
+
+    from sage_spark.kernel.minhash import MERSENNE31, _JAVA_WS, _shingle_hashes
+    from sage_spark.kernel.xxhash import spark_xxhash64
+
+    def serial(text, shingle_len):
+        s = _JAVA_WS.sub(" ", (text or "").lower())
+        if len(s) < shingle_len:
+            return sorted({spark_xxhash64(s) % MERSENNE31})
+        return sorted({
+            spark_xxhash64(s[i : i + shingle_len]) % MERSENNE31
+            for i in range(len(s) - shingle_len + 1)
+        })
+
+    cases = [
+        "こんにちは世界、これはテストです",
+        "🎉🚀 emoji & text mixed 🎂🌍 boundaries",
+        "combining áé marks préférée",
+        "mixed ascii 中文 ascii 日本語 tail",
+        "ß" * 40,
+        "aé" * 25,
+        " nbsp stays ",
+    ]
+    import random
+
+    rng = random.Random(42)
+    pool = "abc éü中日🎉́ XYZ.,"
+    cases += ["".join(rng.choice(pool) for _ in range(rng.randrange(3, 120))) for _ in range(60)]
+    for text in cases:
+        for sl in (3, 5, 7):
+            got = np.sort(_shingle_hashes(text, sl)).tolist()
+            assert got == serial(text, sl), (text[:40], sl)
