@@ -192,6 +192,41 @@ def q_kg_entity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_entity_components(persons_df)
 
 
+def _person_edges_split() -> tuple[list[tuple[str, str]], list[tuple[str, str]]]:
+    """The kg_entity_components co-reference edge set, deterministically split
+    into (base, delta): every third edge of the sorted list is the delta
+    batch, so replaying delta incrementally must re-merge components the base
+    pass left apart (a person's id↔email and id↔name edges usually land on
+    opposite sides of the cut)."""
+    edges: list[tuple[str, str]] = []
+    for p in build_persons(SYNTH_PERSONS, SEED):
+        if p.get("email"):
+            edges.append((p["id"], p["email"].lower()))
+        if p.get("name"):
+            edges.append((p["id"], p["name"].lower()))
+    edges.sort()
+    base = [e for i, e in enumerate(edges) if i % 3 != 2]
+    delta = [e for i, e in enumerate(edges) if i % 3 == 2]
+    return base, delta
+
+
+def q_kg_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components: assignments from a base-edge batch,
+    then the delta batch folded in via the component-graph contraction
+    (operators/components.incremental_components) — the per-crawl-batch
+    canonicalization update. Oracled against the SAME DuckDB recursive-CTE
+    transitive closure as kg_entity_components over the FULL edge set, so a
+    green row proves incremental == full recompute by an independent
+    algorithm."""
+    from sage_spark.operators.components import connected_components, incremental_components
+
+    base, delta = _person_edges_split()
+    schema = "src string, dst string"
+    assignments = connected_components(spark.createDataFrame(base, schema))
+    out = incremental_components(assignments, spark.createDataFrame(delta, schema))
+    return out.orderBy("vertex")
+
+
 # --------------------------------------------------------------------------
 # Relational / analytics queries over the driver-provided tables
 # --------------------------------------------------------------------------
@@ -1289,7 +1324,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # restores the session's own setting (see _set_shuffle)
 _TINY_QUERIES = {
     "kg_claims", "kg_triples", "kg_facts_current", "kg_chunks",
-    "kg_entity_components", "kg_facts_with_evidence", "kg_insight",
+    "kg_entity_components", "kg_components_incremental", "kg_facts_with_evidence", "kg_insight",
     "kg_fact_diff", "kg_impact_radius", "graph_pagerank",
     "retrieval_trace", "retrieval_trace_summary",
     "chat_conversations", "chat_message_access", "chat_unread_counts",
@@ -1328,7 +1363,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_sessionize — so every operator family re-earns a driver-green
     row at least every other round. Every rotated-out query keeps its q_
     function AND its oracle and stays continuously checked via
-    queries_all() (run by tools/verify_entry.py in CI)."""
+    queries_all() (run by tools/verify_entry.py in CI).
+
+    Late round 5: kg_components_incremental (incremental connected
+    components vs the full-recompute recursive-CTE oracle) takes the slot
+    of dedup_exact_keep (green r1-r4; its family keeps a window row via
+    dedup_exact_groups)."""
     reg = {
         # --- round-5 new + rotated-back-in -------------------------------
         "kg_fact_diff": q_kg_fact_diff,
@@ -1357,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_facts_current": q_kg_facts_current,
         "kg_chunks": q_kg_chunks,
         "kg_entity_components": q_kg_entity_components,
+        "kg_components_incremental": q_kg_components_incremental,
         "graph_pagerank": q_graph_pagerank,
         "kg_facts_with_evidence": q_kg_facts_with_evidence,
         # --- relational operators (DuckDB-oracled) -----------------------
@@ -1374,7 +1415,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_stats": q_text_repetition_stats,
         "text_unigram_logprob": q_text_unigram_logprob,
         # --- dedup -------------------------------------------------------
-        "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_embedding_near": q_dedup_embedding_near,
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1401,6 +1441,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so rotation out of the driver window never drops a query from
     continuous verification (round-4 advice)."""
     extra = {
+        "dedup_exact_keep": q_dedup_exact_keep,
         "agg_event_type_daily": q_agg_event_type_daily,
         "join_top_brands_by_revenue": q_join_top_brands_by_revenue,
         "graph_one_hop_orders": q_graph_one_hop_orders,
@@ -1813,6 +1854,7 @@ def oracle_sql() -> dict[str, str]:
             FROM '{kg}/facts_evidence.parquet' ORDER BY fact_id
         """,
         "kg_entity_components": _components_oracle_sql(),
+        "kg_components_incremental": _components_oracle_sql(),
         "chat_conversations": f"""
             SELECT conversation_id, conversation_type, group_id, n_messages, updated_at
             FROM '{kg}/chat_conversations.parquet' ORDER BY conversation_id

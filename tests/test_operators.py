@@ -331,6 +331,87 @@ def test_connected_components_two_islands(spark):
     assert comp["a"] != comp["x"]
 
 
+def _cc_map(df) -> dict:
+    return {r["vertex"]: r["component"] for r in df.collect()}
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Property: incremental_components(CC(base), delta) == CC(base ∪ delta)
+    across randomized edge sets and split points (seeded)."""
+    import random
+
+    from sage_spark.operators.components import incremental_components
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = 18
+        all_edges = sorted(
+            {
+                (f"v{rng.randrange(n):02d}", f"v{rng.randrange(n):02d}")
+                for _ in range(22)
+            }
+        )
+        cut = rng.randrange(1, len(all_edges))
+        base, delta = all_edges[:cut], all_edges[cut:]
+        schema = "src string, dst string"
+        base_df = spark.createDataFrame(base, schema)
+        delta_df = spark.createDataFrame(delta, schema)
+        full = _cc_map(connected_components(spark.createDataFrame(all_edges, schema)))
+        inc = _cc_map(incremental_components(connected_components(base_df), delta_df))
+        assert inc == full, f"trial {trial}: split at {cut}"
+
+
+def test_incremental_components_empty_delta_is_noop(spark):
+    from sage_spark.operators.components import incremental_components
+
+    base = spark.createDataFrame([("a", "b"), ("c", "d")], "src string, dst string")
+    assignments = connected_components(base)
+    delta = spark.createDataFrame([], "src string, dst string")
+    assert _cc_map(incremental_components(assignments, delta)) == _cc_map(assignments)
+
+
+def test_incremental_components_fresh_vertices_and_merge_chain(spark):
+    """A delta that (a) introduces brand-new vertices, (b) chains three
+    existing components into one through a new bridge vertex, and (c)
+    contains an intra-component re-confirmation edge."""
+    from sage_spark.operators.components import incremental_components
+
+    base = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("e", "f")], "src string, dst string"
+    )
+    assignments = connected_components(base)
+    delta = spark.createDataFrame(
+        [("b", "zz"), ("zz", "c"), ("zz", "e"), ("a", "b"), ("p", "q"), ("r", "r")],
+        "src string, dst string",
+    )
+    got = _cc_map(incremental_components(assignments, delta))
+    # a,b,c,d,e,f,zz all merge; min vertex is "a"
+    for v in ["a", "b", "c", "d", "e", "f", "zz"]:
+        assert got[v] == "a", (v, got)
+    assert got["p"] == got["q"] == "p"
+    assert got["r"] == "r"
+    # parity with a full recompute over the union
+    union = base.unionByName(delta)
+    assert got == _cc_map(connected_components(union))
+
+
+def test_incremental_components_chains_across_batches(spark):
+    """The output satisfies the min-label invariant, so a second incremental
+    batch applied on top of the first equals one full recompute."""
+    from sage_spark.operators.components import incremental_components
+
+    schema = "src string, dst string"
+    base = spark.createDataFrame([("m", "n"), ("x", "y")], schema)
+    d1 = spark.createDataFrame([("n", "x")], schema)  # merge the two
+    d2 = spark.createDataFrame([("k", "m"), ("w", "w2")], schema)  # new min + fresh comp
+    a0 = connected_components(base)
+    a1 = incremental_components(a0, d1)
+    a2 = incremental_components(a1, d2)
+    full = connected_components(base.unionByName(d1).unionByName(d2))
+    assert _cc_map(a2) == _cc_map(full)
+    assert _cc_map(a2)["x"] == "k"
+
+
 def test_entity_components_bridge_same_person_keys(spark):
     persons = spark.createDataFrame(
         [
