@@ -64,6 +64,13 @@ def main() -> None:
         "--publish-tables", default=None,
         help="comma-separated subset to publish (default: every store table)",
     )
+    ap.add_argument(
+        "--export-neo4j", default=None, metavar="DIR",
+        help="after the run, write a neo4j-admin database import CSV layout "
+        "(nodes/rels part files + typed headers + import.sh) under DIR — "
+        "the bulk-load migration path for reference deployments keeping a "
+        "Neo4j serving copy",
+    )
     args = ap.parse_args()
 
     run_ts = args.run_ts or datetime.now(timezone.utc).isoformat()
@@ -113,6 +120,13 @@ def main() -> None:
         )
         counts = " ".join(f"{t}={n}" for t, n in sorted(published.items()))
         print(f"published {args.publish_catalog} ({args.publish_format}): {counts}")
+
+    if args.export_neo4j:
+        from sage_spark.sinks.neo4j_csv import export_neo4j_admin_csv
+
+        exported = export_neo4j_admin_csv(spark, store, args.export_neo4j)
+        counts = " ".join(f"{k}={n}" for k, n in sorted(exported.items()))
+        print(f"neo4j export {args.export_neo4j}: {counts}")
 
 
 if __name__ == "__main__":
