@@ -56,6 +56,12 @@ def main() -> None:
         help="keep the query running (default: drain what's there and exit)",
     )
     ap.add_argument("--store-buckets", type=int, default=16)
+    ap.add_argument(
+        "--maintain-components", action="store_true",
+        help="fold each batch's entity-mention edges into a persisted "
+        "'components' assignment table (incremental connected components; "
+        "only changed/new rows are upserted per batch)",
+    )
     args = ap.parse_args()
 
     spark = build_spark(app_name="sage-kg-stream")
@@ -82,6 +88,7 @@ def main() -> None:
         checkpoint_dir=args.checkpoint,
         run_prefix=args.run_prefix,
         available_now=not args.continuous,
+        maintain_components=args.maintain_components,
     )
     query.awaitTermination()
 
@@ -98,6 +105,10 @@ def main() -> None:
         if store.exists("facts")
         else 0,
     }
+    if args.maintain_components:
+        summary["components_vertices"] = (
+            store.read(spark, "components").count() if store.exists("components") else 0
+        )
     print(json.dumps(summary, sort_keys=True))
 
 

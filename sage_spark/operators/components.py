@@ -71,6 +71,7 @@ def incremental_components(
     dst: str = "dst",
     *,
     max_iterations: int = 50,
+    changed_only: bool = False,
 ) -> DataFrame:
     """Fold a batch of new undirected edges into an existing (vertex,
     component) assignment WITHOUT recomputing over the full graph — the
@@ -99,6 +100,12 @@ def incremental_components(
     (vertex, component) assignment, equal to ``connected_components(old
     edges ∪ new edges)`` (property-tested + driver-oracled vs a DuckDB
     recursive CTE over the edge union).
+
+    With ``changed_only=True``, returns ONLY the rows that differ from
+    ``assignments`` (relabeled members of merged components) plus the
+    brand-new vertices — the exact delta a key-based store upsert needs,
+    so a persisted assignment table is maintained without ever rewriting
+    its untouched rows (see :func:`maintain_component_store`).
     """
     edges = (
         new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -134,8 +141,9 @@ def incremental_components(
     mapping = merged.filter(F.col("vertex") != F.col("component")).select(
         F.col("vertex").alias("old_label"), F.col("component").alias("new_label")
     )
+    join_type = "inner" if changed_only else "left"
     updated = assignments.join(
-        F.broadcast(mapping), assignments["component"] == mapping["old_label"], "left"
+        F.broadcast(mapping), assignments["component"] == mapping["old_label"], join_type
     ).select(
         assignments["vertex"],
         F.coalesce("new_label", assignments["component"]).alias("component"),
@@ -146,6 +154,39 @@ def incremental_components(
         .select("vertex", F.coalesce("new_label", "label").alias("component"))
     )
     return updated.unionByName(fresh)
+
+
+def claim_entity_edges(claims: DataFrame) -> DataFrame:
+    """The evolving mention graph a KG batch contributes: one (src, dst)
+    edge per claim linking its subject and object entities — the same edge
+    set impact_radius walks (operators/incremental.py)."""
+    return claims.filter(
+        F.col("subject_entity_id").isNotNull() & F.col("object_entity_id").isNotNull()
+    ).select(
+        F.col("subject_entity_id").alias("src"), F.col("object_entity_id").alias("dst")
+    )
+
+
+def maintain_component_store(spark, store, new_edges: DataFrame, *, table: str = "components") -> int:
+    """Fold a batch's mention edges into the persisted (vertex, component)
+    assignment table, writing ONLY the changed/new rows through the store's
+    key-based upsert — the per-micro-batch canonicalization maintenance
+    step for continuous construction. First batch seeds the table with a
+    full :func:`connected_components` pass. Returns the delta row count.
+
+    At scale this touches: the batch's endpoints (one hash join against
+    the assignment table), the tiny merge graph (iterative part), and the
+    store buckets holding relabeled vertices — never the full table."""
+    if store.exists(table):
+        assignments = store.read(spark, table)
+        delta = incremental_components(assignments, new_edges, changed_only=True)
+    else:
+        delta = connected_components(new_edges)
+    delta = delta.localCheckpoint(eager=True)  # sever from the pre-upsert store state
+    n = delta.count()
+    if n:
+        store.upsert(delta, table, ["vertex"])
+    return n
 
 
 def canonical_entity_components(

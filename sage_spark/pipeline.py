@@ -76,7 +76,13 @@ def run_pipeline(
     run_ts: str,
     embed_chunks: bool = False,
     lang_filter: str | None = "en",
+    claims_hook=None,
 ) -> PipelineResult:
+    """claims_hook, when given, is called with this run's claims DataFrame
+    after all table upserts commit and before the staging dir is dropped —
+    the seam maintenance consumers (e.g. the incremental component store,
+    operators/components.maintain_component_store) attach to without
+    re-extracting the batch."""
     # --- stage 1: byte-deterministic text extraction --------------------------
     documents = extract_documents(webtext, lang_filter=lang_filter)
     # Content-level dedupe (P4/J10): pages with identical extracted text share
@@ -216,5 +222,7 @@ def run_pipeline(
         conflicts=int(conflict_count),
         edges=store.read(spark, "edges").count(),
     )
+    if claims_hook is not None:
+        claims_hook(claims)
     store.drop(f"_staging/{run_id}")
     return result

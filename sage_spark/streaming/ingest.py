@@ -58,14 +58,32 @@ def start_kg_ingestion(
     checkpoint_dir: str,
     run_prefix: str = "stream",
     available_now: bool = True,
+    maintain_components: bool = False,
 ) -> StreamingQuery:
     """foreachBatch KG ingestion. Each micro-batch id becomes the run_id
-    suffix, so lineage rows identify exactly which batch produced what."""
+    suffix, so lineage rows identify exactly which batch produced what.
+
+    With ``maintain_components=True``, each micro-batch also folds its
+    claims' entity-mention edges into a persisted ``components`` assignment
+    table via the incremental component-graph contraction — only
+    changed/new vertex rows are upserted, so the assignment stays current
+    across an endless crawl without ever recomputing (or rewriting) the
+    full graph. Replayed batches re-derive the same labels, so the
+    maintenance step is idempotent like every other sink here."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         run_ts = datetime.now(timezone.utc).isoformat()
+        claims_hook = None
+        if maintain_components:
+            from ..operators.components import claim_entity_edges, maintain_component_store
+
+            def claims_hook(claims: DataFrame) -> None:
+                maintain_component_store(
+                    batch_df.sparkSession, store, claim_entity_edges(claims)
+                )
+
         run_pipeline(
             batch_df.sparkSession,
             batch_df,
@@ -75,6 +93,7 @@ def start_kg_ingestion(
             run_id=f"{run_prefix}-{batch_id}",
             run_ts=run_ts,
             embed_chunks=False,
+            claims_hook=claims_hook,
         )
 
     writer = stream.writeStream.foreachBatch(process_batch).option("checkpointLocation", checkpoint_dir)

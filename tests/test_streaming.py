@@ -64,6 +64,72 @@ def test_streaming_kg_ingestion_matches_batch(spark, tmp_path):
     assert runs >= 2
 
 
+def test_streaming_component_maintenance_matches_full_recompute(spark, tmp_path):
+    """--maintain-components: the persisted assignment table after N
+    micro-batches equals one full connected-components pass over ALL the
+    store's claim entity edges."""
+    from sage_spark.operators.components import claim_entity_edges, connected_components
+
+    webtext, persons_df = synth_webtext(spark, 60, n_persons=12, seed=11, partitions=2)
+    persons = [r.asDict() for r in persons_df.collect()]
+    input_dir = str(tmp_path / "incoming")
+    bounds = webtext.selectExpr("percentile_approx(warc_ts, 0.5) AS p1").collect()[0]
+    for part in [
+        webtext.filter(F.col("warc_ts") <= bounds["p1"]),
+        webtext.filter(F.col("warc_ts") > bounds["p1"]),
+    ]:
+        part.coalesce(1).write.mode("append").parquet(input_dir)
+
+    store = TableStore(tmp_path / "kgstream")
+    stream = stream_webtext_from_dir(spark, input_dir, max_files_per_trigger=1)
+    q = start_kg_ingestion(
+        stream, persons, build_groups(), store,
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+        maintain_components=True,
+    )
+    q.awaitTermination(300)
+
+    got = {r["vertex"]: r["component"] for r in store.read(spark, "components").collect()}
+    all_edges = claim_entity_edges(store.read(spark, "claims"))
+    want = {r["vertex"]: r["component"] for r in connected_components(all_edges).collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_maintain_component_store_upserts_only_delta(spark, tmp_path):
+    """changed_only delta: the second batch's upsert carries exactly the
+    relabeled + new vertices; untouched components never rewrite."""
+    from sage_spark.operators.components import (
+        connected_components,
+        incremental_components,
+        maintain_component_store,
+    )
+
+    store = TableStore(tmp_path / "cstore")
+    schema = "src string, dst string"
+    b1 = spark.createDataFrame([("a", "b"), ("x", "y"), ("p", "q")], schema)
+    b2 = spark.createDataFrame([("b", "x"), ("n1", "n2")], schema)
+    n1 = maintain_component_store(spark, store, b1)
+    assert n1 == 6  # seeds the table
+    assignments_after_b1 = {
+        r["vertex"]: r["component"] for r in store.read(spark, "components").collect()
+    }
+    delta = incremental_components(
+        store.read(spark, "components"), b2, changed_only=True
+    ).collect()
+    # delta = x,y relabeled to "a" + the two new vertices; p/q untouched
+    assert {r["vertex"] for r in delta} == {"x", "y", "n1", "n2"}
+    n2 = maintain_component_store(spark, store, b2)
+    assert n2 == 4
+    got = {r["vertex"]: r["component"] for r in store.read(spark, "components").collect()}
+    want = {
+        r["vertex"]: r["component"]
+        for r in connected_components(b1.unionByName(b2)).collect()
+    }
+    assert got == want
+    assert got["p"] == assignments_after_b1["p"]
+
+
 def _event_rows():
     base = datetime(2026, 4, 1, 10, 0, 0)
     rows = []
