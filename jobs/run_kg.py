@@ -65,6 +65,12 @@ def main() -> None:
         help="comma-separated subset to publish (default: every store table)",
     )
     ap.add_argument(
+        "--maintain-components", action="store_true",
+        help="fold this run's entity-mention edges into a persisted "
+        "'components' assignment table (incremental connected components; "
+        "only changed/new rows are upserted)",
+    )
+    ap.add_argument(
         "--export-neo4j", default=None, metavar="DIR",
         help="after the run, write a neo4j-admin database import CSV layout "
         "(nodes/rels part files + typed headers + import.sh) under DIR — "
@@ -94,6 +100,14 @@ def main() -> None:
         )
 
     store = TableStore(args.store, buckets=args.store_buckets or None)
+    claims_hook = None
+    if args.maintain_components:
+        from sage_spark.operators.components import claim_entity_edges, maintain_component_store
+
+        def claims_hook(claims):
+            n = maintain_component_store(spark, store, claim_entity_edges(claims))
+            print(f"components: {n} vertex rows upserted")
+
     result = run_pipeline(
         spark,
         webtext,
@@ -104,6 +118,7 @@ def main() -> None:
         run_ts=run_ts,
         embed_chunks=args.embed_chunks,
         lang_filter=args.lang or None,
+        claims_hook=claims_hook,
     )
     print(
         f"run {run_id}: documents={result.documents} chunks={result.chunks} "

@@ -118,18 +118,27 @@ def incremental_components(
         .unionByName(edges.select(F.col("b").alias("vertex")))
         .distinct()
     )
-    # current label per endpoint: its component if known, else itself
+    # current label per endpoint: its component if known, else itself. The
+    # broadcast hint pins BuildLeft — the batch's endpoint set is the build
+    # side and the big assignment table only streams (no shuffle); `known`
+    # is captured here so new vertices need no second pass over assignments
     resolved = (
-        endpoints.join(assignments, "vertex", "left")
-        .select("vertex", F.coalesce("component", "vertex").alias("label"))
+        F.broadcast(endpoints)
+        .join(assignments, "vertex", "left")
+        .select(
+            "vertex",
+            F.coalesce("component", "vertex").alias("label"),
+            F.col("component").isNotNull().alias("known"),
+        )
         .localCheckpoint(eager=True)
     )
     # contract each new edge to a label↔label edge; edges inside one
     # component vanish here, so a batch of pure re-confirmations is free
+    labels = resolved.select("vertex", "label")
     comp_edges = (
-        edges.join(resolved.withColumnRenamed("vertex", "a"), "a")
+        edges.join(labels.withColumnRenamed("vertex", "a"), "a")
         .withColumnRenamed("label", "la")
-        .join(resolved.withColumnRenamed("vertex", "b"), "b")
+        .join(labels.withColumnRenamed("vertex", "b"), "b")
         .withColumnRenamed("label", "lb")
         .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -149,7 +158,7 @@ def incremental_components(
         F.coalesce("new_label", assignments["component"]).alias("component"),
     )
     fresh = (
-        resolved.join(assignments.select("vertex"), "vertex", "left_anti")
+        resolved.filter(~F.col("known"))
         .join(F.broadcast(mapping), F.col("label") == F.col("old_label"), "left")
         .select("vertex", F.coalesce("new_label", "label").alias("component"))
     )

@@ -273,3 +273,34 @@ def test_exchange_reuse_in_minhash_self_join(spark):
     # pair generation is bucket-groupBy + array combinatorics, not a
     # self-join: the signature pipeline is computed exactly once
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_incremental_components_never_shuffles_assignments(spark, tmp_path):
+    """The per-batch component update must only STREAM the big assignment
+    table (broadcast-built joins on both touch points); a SortMergeJoin
+    anywhere in the final plan means the full table shuffled. The iterative
+    part runs pre-checkpoint on the tiny merge graph, so the returned plan
+    contains exactly the two remap joins."""
+    from pyspark.sql import functions as F
+
+    from sage_spark.operators.components import connected_components, incremental_components
+
+    edges = spark.createDataFrame(
+        [(f"v{i}", f"v{i+1}") for i in range(0, 40, 2)], "src string, dst string"
+    )
+    assignments = connected_components(edges)
+    # persist like the store would: the operator sees a parquet-backed table
+    assignments.write.parquet(str(tmp_path / "assign"))
+    assignments = spark.read.parquet(str(tmp_path / "assign"))
+    delta = spark.createDataFrame([("v1", "v2"), ("zz", "v39")], "src string, dst string")
+    out = incremental_components(assignments, delta)
+    plan = _plan(spark, out)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # and the result is still exact
+    got = {r["vertex"]: r["component"] for r in out.collect()}
+    want = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges.unionByName(delta)).collect()
+    }
+    assert got == want
