@@ -130,6 +130,22 @@ def test_maintain_component_store_upserts_only_delta(spark, tmp_path):
     assert got["p"] == assignments_after_b1["p"]
 
 
+def test_maintain_component_store_replay_is_noop(spark, tmp_path):
+    """A replayed micro-batch (foreachBatch redelivery after a crash) folds
+    edges that are already in the assignment: every contracted edge
+    collapses to la==lb, the delta is empty, and the store is untouched —
+    the same exactly-once-by-idempotence contract as the other sinks."""
+    from sage_spark.operators.components import maintain_component_store
+
+    store = TableStore(tmp_path / "cstore")
+    b1 = spark.createDataFrame([("a", "b"), ("x", "y")], "src string, dst string")
+    assert maintain_component_store(spark, store, b1) == 4
+    before = {r["vertex"]: r["component"] for r in store.read(spark, "components").collect()}
+    assert maintain_component_store(spark, store, b1) == 0  # replay
+    after = {r["vertex"]: r["component"] for r in store.read(spark, "components").collect()}
+    assert after == before
+
+
 def _event_rows():
     base = datetime(2026, 4, 1, 10, 0, 0)
     rows = []
