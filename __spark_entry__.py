@@ -1253,6 +1253,41 @@ def _synth_split(spark: SparkSession) -> tuple[DataFrame, DataFrame, DataFrame]:
     return out
 
 
+RUN_TS2 = "2026-05-02T00:00:00+00:00"
+AS_OF_TS = "2026-05-01T12:00:00+00:00"  # between the two processing epochs
+
+
+def q_kg_facts_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Processing-time travel (operators/canonicalize.facts_as_of): replay
+    the established corpus at RUN_TS, fold the second batch in at RUN_TS2,
+    then ask the combined bitemporal table what was current in between.
+    Must equal the serial replay of epoch-1 claims ALONE (the oracle's
+    facts_current_epoch1 parquet) — epoch-2 promotions are invisible at
+    AS_OF_TS and epoch-2 supersedes must not retro-hide epoch-1 facts.
+    support_count is excluded: confirms mutate it in place (reference
+    semantics), so it reflects the latest run, not the as-of instant."""
+    from sage_spark.operators.canonicalize import facts_as_of
+
+    batch, _, store_claims = _synth_split(spark)
+    union1 = canonicalize_claims(store_claims, None, seen_at=RUN_TS)
+    facts1 = split_facts(union1).localCheckpoint(eager=True)
+    current1 = facts1.filter(F.col("status") == "current")
+    union2 = canonicalize_claims(batch, current1, seen_at=RUN_TS2)
+    facts2 = split_facts(union2)
+    # emulate the store's fact_id-keyed upsert: epoch-2 rows win for touched
+    # keys, untouched epoch-1 facts carry over
+    touched = facts2.select("canonical_key").distinct()
+    all_facts = facts1.join(touched, "canonical_key", "left_anti").unionByName(facts2)
+    return (
+        facts_as_of(all_facts, AS_OF_TS)
+        .select(
+            "fact_id", "canonical_key", "claim_type", "predicate", "subject_key",
+            "object_key", "value_text",
+        )
+        .orderBy("fact_id")
+    )
+
+
 def q_kg_fact_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance (under_development/saia.py:117-146): classify
     the new batch's promotable claims against the live fact store as
@@ -1325,7 +1360,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _TINY_QUERIES = {
     "kg_claims", "kg_triples", "kg_facts_current", "kg_chunks",
     "kg_entity_components", "kg_components_incremental", "kg_facts_with_evidence", "kg_insight",
-    "kg_fact_diff", "kg_impact_radius", "graph_pagerank",
+    "kg_fact_diff", "kg_impact_radius", "kg_facts_as_of", "graph_pagerank",
     "retrieval_trace", "retrieval_trace_summary",
     "chat_conversations", "chat_message_access", "chat_unread_counts",
     "chat_participations",
@@ -1368,9 +1403,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Late round 5: kg_components_incremental (incremental connected
     components vs the full-recompute recursive-CTE oracle) takes the slot
     of dedup_exact_keep (green r1-r4; its family keeps a window row via
-    dedup_exact_groups)."""
+    dedup_exact_groups), and kg_facts_as_of (processing-time travel vs
+    the epoch-1-only serial replay) takes corpus_stratified_sample's
+    (green r1-r4; the corpus family keeps four other window rows). Both
+    rotated-out queries stay oracled in queries_all()."""
     reg = {
         # --- round-5 new + rotated-back-in -------------------------------
+        "kg_facts_as_of": q_kg_facts_as_of,
         "kg_fact_diff": q_kg_fact_diff,
         "kg_impact_radius": q_kg_impact_radius,
         "dedup_near_clusters": q_dedup_near_clusters,
@@ -1429,7 +1468,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_conversations": q_chat_conversations,
         "chat_message_access": q_chat_message_access,
         # --- corpus management -------------------------------------------
-        "corpus_stratified_sample": q_corpus_stratified_sample,
     }
     assert len(reg) == 50, len(reg)
     return {n: _wrap_conf(n, f) for n, f in reg.items()}
@@ -1442,6 +1480,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     continuous verification (round-4 advice)."""
     extra = {
         "dedup_exact_keep": q_dedup_exact_keep,
+        "corpus_stratified_sample": q_corpus_stratified_sample,
         "agg_event_type_daily": q_agg_event_type_daily,
         "join_top_brands_by_revenue": q_join_top_brands_by_revenue,
         "graph_one_hop_orders": q_graph_one_hop_orders,
@@ -1518,7 +1557,7 @@ def _expected_kg_dir() -> str:
     import pandas as pd
 
     out = pathlib.Path(
-        f"/tmp/sage_expected_kg_v3_{SYNTH_DOCS}_{SYNTH_PERSONS}_{SEED}_{_kernel_fingerprint()}"
+        f"/tmp/sage_expected_kg_v4_{SYNTH_DOCS}_{SYNTH_PERSONS}_{SEED}_{_kernel_fingerprint()}"
     )
     marker = out / "_DONE"
     if marker.exists():
@@ -1578,6 +1617,16 @@ def _expected_kg_dir() -> str:
         "facts_current",
     )
     dump(evidence, ["fact_id", "canonical_key", "evidence_doc_id"], "facts_evidence")
+    # epoch-1-only serial replay: the kg_facts_as_of oracle (the distributed
+    # two-epoch table filtered to the inter-epoch instant must equal this)
+    epoch1_claims = [c for c in claims if (c.get("doc_id") or "")[:1] in set("01234567")]
+    epoch1_facts, _ = expected_facts_and_edges(epoch1_claims, seen_at=RUN_TS)
+    dump(
+        [f for f in epoch1_facts if f.get("status") == "current"],
+        ["fact_id", "canonical_key", "claim_type", "predicate", "subject_key",
+         "object_key", "value_text"],
+        "facts_current_epoch1",
+    )
     from sage_spark.kernel.expected import expected_pagerank
 
     pr_edges = [
@@ -1854,6 +1903,11 @@ def oracle_sql() -> dict[str, str]:
             FROM '{kg}/facts_evidence.parquet' ORDER BY fact_id
         """,
         "kg_entity_components": _components_oracle_sql(),
+        "kg_facts_as_of": f"""
+            SELECT fact_id, canonical_key, claim_type, predicate, subject_key,
+                   object_key, value_text
+            FROM '{kg}/facts_current_epoch1.parquet' ORDER BY fact_id
+        """,
         "kg_components_incremental": _components_oracle_sql(),
         "chat_conversations": f"""
             SELECT conversation_id, conversation_type, group_id, n_messages, updated_at

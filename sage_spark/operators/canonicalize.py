@@ -175,6 +175,33 @@ def split_edges(union: DataFrame) -> DataFrame:
     )
 
 
+def facts_as_of(facts: DataFrame, ts: str) -> DataFrame:
+    """Processing-time travel over the bitemporal fact table: the facts that
+    were CURRENT at anchor ``ts`` — promoted at or before it
+    (``first_seen_at <= ts``) and not yet superseded
+    (``superseded_at`` NULL or ``> ts``).
+
+    The reference stamps facts with the processing anchor the same way
+    (kernel/facts.py mirrors app/saia.py's created/superseded bookkeeping),
+    so this reconstructs "what did the store believe after run X" for any
+    past run — the audit/debug query a continuously-updated KG needs when a
+    downstream consumer asks why it saw a since-superseded fact. Validity
+    time (when the fact was true in the world) is the separate
+    ``temporal_start``/``temporal_end`` pair and composes as an ordinary
+    extra filter.
+
+    Pure map-side predicate — no shuffle, and both timestamp columns are
+    plain ISO-8601 strings in one timezone so the comparison stays inside
+    whole-stage codegen (and prunes on a first_seen_at-partitioned layout).
+    Oracled (`kg_facts_as_of`): a two-epoch distributed replay filtered to
+    the inter-epoch instant must equal the serial replay of epoch-1 claims
+    alone."""
+    return facts.filter(
+        (F.col("first_seen_at") <= F.lit(ts))
+        & (F.col("superseded_at").isNull() | (F.col("superseded_at") > F.lit(ts)))
+    )
+
+
 def support_counts_from_edges(edges: DataFrame) -> DataFrame:
     """A6: support_count re-derived as the count of SUPPORTS edges — the
     aggregation form of the reference's coalesce(count,0)+1 increments

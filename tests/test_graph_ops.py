@@ -191,3 +191,27 @@ def test_pagerank_early_exit_converges_to_fixed_point(spark):
     a = {r["v"]: r["rank"] for r in pagerank(df, iterations=7, checkpoint_every=1).collect()}
     b = {r["v"]: r["rank"] for r in pagerank(df, iterations=7, checkpoint_every=4).collect()}
     assert a == b
+
+
+def test_facts_as_of_boundary_semantics(spark):
+    """Processing-time travel boundaries: a fact is visible from its
+    first_seen_at INCLUSIVE until its superseded_at EXCLUSIVE (at the
+    supersede instant the replacement is already current)."""
+    from sage_spark.operators.canonicalize import facts_as_of
+
+    t0, t1, t2, t3 = (
+        "2026-05-01T00:00:00+00:00",
+        "2026-05-02T00:00:00+00:00",
+        "2026-05-03T00:00:00+00:00",
+        "2026-05-04T00:00:00+00:00",
+    )
+    facts = spark.createDataFrame(
+        [("A", t1, t2), ("B", t1, None), ("C", t2, None)],
+        "fact_id string, first_seen_at string, superseded_at string",
+    )
+    snap = lambda ts: {r["fact_id"] for r in facts_as_of(facts, ts).collect()}  # noqa: E731
+    assert snap(t0) == set()
+    assert snap(t1) == {"A", "B"}
+    assert snap("2026-05-02T12:00:00+00:00") == {"A", "B"}
+    assert snap(t2) == {"B", "C"}
+    assert snap(t3) == {"B", "C"}
