@@ -992,6 +992,17 @@ def q_corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(docs, "source", length_col="n_chars").orderBy("group_key")
 
 
+def q_corpus_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/corpus.cap_per_group): keep the 40
+    lexicographically-smallest doc_ids per source — the giant-host guard.
+    Skew-aware: under-cap sources pass through without entering the window;
+    only over-cap groups' rows pay the ordered repartition."""
+    from sage_spark.operators.corpus import cap_per_group
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, "source", 40, "doc_id").orderBy("doc_id")
+
+
 def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per-document count of distinct 8-gram
     overlaps with an eval set (operators/decontam.py). The eval set derives
@@ -1493,6 +1504,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "text_quality_filter": q_text_quality_filter,
         "corpus_sample": q_corpus_sample,
+        "corpus_host_cap": q_corpus_host_cap,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -1940,6 +1952,13 @@ def oracle_sql() -> dict[str, str]:
         "chat_participations": f"""
             SELECT person_id, conversation_id
             FROM '{kg}/chat_participations.parquet' ORDER BY person_id, conversation_id
+        """,
+        "corpus_host_cap": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 40 ORDER BY doc_id
         """,
         "corpus_sample": """
             SELECT doc_id FROM documents

@@ -136,3 +136,42 @@ def mix_to_weights(
         .filter(h < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_col: str,
+) -> DataFrame:
+    """Cap the corpus at ``n`` rows per group (host/domain/source) keeping
+    the ``n`` smallest by ``order_col`` — the standard crawl-corpus guard
+    against a handful of giant hosts dominating the training mix.
+
+    Skew-aware two-phase shape: one partial-agg count finds the groups OVER
+    the cap (in a web crawl that is a tiny, zipf-head set — broadcast), rows
+    of every under-cap group pass through with NO per-row shuffle, and only
+    the over-cap groups' rows enter the row_number window. The expensive
+    ordered repartition therefore touches the head of the distribution, not
+    the 10^12-row tail. Deterministic: the kept set is a pure function of
+    (group, order_col), stable across partitioning and re-runs; pass a
+    content hash as ``order_col`` for an unbiased cap or a quality score for
+    a best-first cap.
+    """
+    from pyspark.sql import Window
+
+    heavy = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") > n)
+        .select(group_col)
+    )
+    light_rows = df.join(F.broadcast(heavy), group_col, "left_anti")
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    heavy_rows = (
+        df.join(F.broadcast(heavy), group_col, "left_semi")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+    return light_rows.unionByName(heavy_rows)

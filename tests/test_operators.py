@@ -1165,3 +1165,23 @@ def test_minhash_multibyte_vectorized_matches_serial():
         for sl in (3, 5, 7):
             got = np.sort(_shingle_hashes(text, sl)).tolist()
             assert got == serial(text, sl), (text[:40], sl)
+
+
+def test_cap_per_group_equals_global_window_and_passes_light_groups(spark):
+    """cap_per_group == the naive global row_number form, and under-cap
+    groups' rows are untouched (identity, not re-selected)."""
+    from pyspark.sql import Window
+
+    from sage_spark.operators.corpus import cap_per_group
+
+    rows = [(g, i) for g in ["big", "huge"] for i in range(20)] + [("tiny", 0), ("tiny", 1)]
+    df = spark.createDataFrame(rows, "source string, doc_id int")
+    got = {(r["source"], r["doc_id"]) for r in cap_per_group(df, "source", 5, "doc_id").collect()}
+    w = Window.partitionBy("source").orderBy("doc_id")
+    want = {
+        (r["source"], r["doc_id"])
+        for r in df.withColumn("rn", F.row_number().over(w)).filter("rn <= 5").drop("rn").collect()
+    }
+    assert got == want
+    assert {(g, i) for (g, i) in got if g == "tiny"} == {("tiny", 0), ("tiny", 1)}
+    assert len([1 for (g, _) in got if g == "big"]) == 5
