@@ -1285,10 +1285,11 @@ def q_kg_facts_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     current1 = facts1.filter(F.col("status") == "current")
     union2 = canonicalize_claims(batch, current1, seen_at=RUN_TS2)
     facts2 = split_facts(union2)
-    # emulate the store's fact_id-keyed upsert: epoch-2 rows win for touched
-    # keys, untouched epoch-1 facts carry over
-    touched = facts2.select("canonical_key").distinct()
-    all_facts = facts1.join(touched, "canonical_key", "left_anti").unionByName(facts2)
+    # emulate the store's fact_id-keyed upsert: epoch-2 re-emitted rows win
+    # by fact_id, every other epoch-1 row (incl. facts superseded WITHIN
+    # epoch 1 — not re-emitted, since only current facts feed the replay)
+    # carries over unchanged
+    all_facts = facts1.join(facts2.select("fact_id"), "fact_id", "left_anti").unionByName(facts2)
     return (
         facts_as_of(all_facts, AS_OF_TS)
         .select(
