@@ -350,6 +350,26 @@ def q_graph_one_hop_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expand_one_hop(seeds, edges).orderBy("seed", "neighbor", "direction")
 
 
+def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle count + clustering coefficient over the
+    co-purchase graph (parts co-mentioned by an order — the lineitem stand-in
+    for entity co-mention in a document). The Spark side enumerates via the
+    skew-bounded DEGREE orientation (out-degree <= O(sqrt(m)) per vertex);
+    the oracle enumerates via the simple id orientation — identical
+    triangle sets, so the hash match doubles as a differential check of
+    the orientation trick."""
+    from sage_spark.operators.triangles import co_mention_edges, triangle_counts
+
+    mentions = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("doc_id"),
+        F.col("l_partkey").cast("long").alias("entity_id"),
+    )
+    out = triangle_counts(co_mention_edges(mentions))
+    return out.select(
+        F.col("entity").cast("long").alias("entity"), "degree", "triangles", "clustering"
+    ).orderBy("entity")
+
+
 def q_agg_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup aggregation: (event_type, day) with subtotals and grand total."""
     events = _read(spark, sf_dir, "events")
@@ -1508,6 +1528,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_host_cap": q_corpus_host_cap,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "graph_triangle_counts": q_graph_triangle_counts,
     }
     out = queries()
     out.update({n: _wrap_conf(n, f) for n, f in extra.items()})
@@ -2299,6 +2320,39 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT seed, src AS neighbor, type, 'in' AS direction FROM seeds JOIN edges ON seed = dst
             ) ORDER BY seed, neighbor, direction
+        """,
+        "graph_triangle_counts": """
+            WITH m AS (
+                SELECT DISTINCT l_orderkey AS doc, CAST(l_partkey AS BIGINT) AS ent
+                FROM lineitem
+            ), e AS (
+                SELECT a.ent AS u, b.ent AS v
+                FROM m a JOIN m b ON a.doc = b.doc AND a.ent < b.ent
+                GROUP BY 1, 2
+            ), deg AS (
+                SELECT ent, count(*) AS degree FROM (
+                    SELECT u AS ent FROM e UNION ALL SELECT v AS ent FROM e
+                ) GROUP BY ent
+            ), tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1
+                JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ), pv AS (
+                SELECT ent, count(*) AS triangles FROM (
+                    SELECT a AS ent FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri
+                ) GROUP BY ent
+            )
+            SELECT deg.ent AS entity, deg.degree,
+                   COALESCE(pv.triangles, 0) AS triangles,
+                   CASE WHEN deg.degree >= 2
+                        THEN round(2.0 * COALESCE(pv.triangles, 0)
+                                   / (deg.degree * (deg.degree - 1.0)), 6)
+                        ELSE 0.0 END AS clustering
+            FROM deg LEFT JOIN pv USING (ent)
+            ORDER BY entity
         """,
         "agg_hypertable_rollup": """
             WITH ev AS (
