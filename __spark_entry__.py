@@ -1116,6 +1116,39 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("v", F.round("rank", 6).alias("rank")).orderBy("v")
 
 
+def _synth_entity_edges(spark: SparkSession) -> DataFrame:
+    """The entity mention graph shared by the iterative graph queries:
+    subject -> object pairs of fully-resolved synthetic claims."""
+    claims = _synth_claims(spark)
+    return claims.filter(
+        F.col("subject_entity_id").isNotNull() & F.col("object_entity_id").isNotNull()
+    ).select(
+        F.col("subject_entity_id").alias("u"), F.col("object_entity_id").alias("v")
+    )
+
+
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation over the entity mention
+    graph (operators/communities.py); oracled against a serial replay of
+    the same vote + smallest-label tie-break at the same iteration count."""
+    from sage_spark.operators.communities import label_propagation
+
+    out = label_propagation(_synth_entity_edges(spark), iterations=5)
+    return out.orderBy("entity")
+
+
+def q_graph_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core numbers over the entity mention graph via the iterated
+    neighbourhood H-index (operators/communities.py); the oracle is the
+    serial min-degree PEEL — a different algorithm whose output provably
+    equals the H-index fixed point, so the hash match is a real
+    differential check, not a replay of the same code path."""
+    from sage_spark.operators.communities import core_numbers
+
+    out = core_numbers(_synth_entity_edges(spark))
+    return out.select("entity", F.col("core").cast("long").alias("core")).orderBy("entity")
+
+
 def q_agg_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable continuous aggregate: hour buckets from raw events, day
     buckets REAGGREGATED from the hour level (operators/rollup.py).
@@ -1438,7 +1471,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_exact_groups), and kg_facts_as_of (processing-time travel vs
     the epoch-1-only serial replay) takes corpus_stratified_sample's
     (green r1-r4; the corpus family keeps four other window rows). Both
-    rotated-out queries stay oracled in queries_all()."""
+    rotated-out queries stay oracled in queries_all().
+
+    Final round-5 rotation: the three graph-analytics rows new this round
+    (graph_triangle_counts — degree-ordered wedge enumeration vs the
+    id-oriented SQL; graph_communities — synchronous LPA vs its serial
+    replay; graph_core_numbers — distributed H-index iteration vs a serial
+    min-degree PEEL, a genuinely different algorithm with a provably equal
+    fixed point) take the slots of text_unigram_logprob,
+    text_pii_redacted and dedup_ngram_jaccard (all multi-round green; the
+    text family keeps quality/language_id/repetition in-window, dedup
+    keeps exact_groups/minhash/embedding_near/clusters/spans)."""
     reg = {
         # --- round-5 new + rotated-back-in -------------------------------
         "kg_facts_as_of": q_kg_facts_as_of,
@@ -1482,13 +1525,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- text analysis (DuckDB-oracled) ------------------------------
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
-        "text_pii_redacted": q_text_pii_redacted,
         "text_repetition_stats": q_text_repetition_stats,
-        "text_unigram_logprob": q_text_unigram_logprob,
+        # --- graph analytics (new this round) ----------------------------
+        "graph_triangle_counts": q_graph_triangle_counts,
+        "graph_communities": q_graph_communities,
+        "graph_core_numbers": q_graph_core_numbers,
         # --- dedup -------------------------------------------------------
         "dedup_embedding_near": q_dedup_embedding_near,
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         # --- similarity search -------------------------------------------
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_recall": q_sim_lsh_recall,
@@ -1528,7 +1572,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_host_cap": q_corpus_host_cap,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
-        "graph_triangle_counts": q_graph_triangle_counts,
+        "text_unigram_logprob": q_text_unigram_logprob,
+        "text_pii_redacted": q_text_pii_redacted,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     }
     out = queries()
     out.update({n: _wrap_conf(n, f) for n, f in extra.items()})
@@ -1673,6 +1719,14 @@ def _expected_kg_dir() -> str:
         for r in expected_pagerank(pr_edges, damping=0.85, iterations=20)
     ]
     dump(pr, ["v", "rank"], "pagerank")
+    from sage_spark.kernel.expected import expected_core_numbers, expected_label_propagation
+
+    dump(
+        expected_label_propagation(pr_edges, iterations=5),
+        ["entity", "community"],
+        "communities",
+    )
+    dump(expected_core_numbers(pr_edges), ["entity", "core"], "coreness")
     messages, convs, parts = expected_chat(SYNTH_DOCS, SYNTH_PERSONS, SEED)
     dump(convs, ["conversation_id", "conversation_type", "group_id", "n_messages", "updated_at"], "chat_conversations")
     dump(parts, ["person_id", "conversation_id"], "chat_participations")
@@ -1963,6 +2017,13 @@ def oracle_sql() -> dict[str, str]:
             FROM '{kg}/insight.parquet' ORDER BY claim_id, fact_id, previous_fact_id
         """,
         "graph_pagerank": f"SELECT v, rank FROM '{kg}/pagerank.parquet' ORDER BY v",
+        "graph_communities": f"""
+            SELECT entity, community FROM '{kg}/communities.parquet' ORDER BY entity
+        """,
+        "graph_core_numbers": f"""
+            SELECT entity, CAST(core AS BIGINT) AS core
+            FROM '{kg}/coreness.parquet' ORDER BY entity
+        """,
         "kg_fact_diff": f"""
             SELECT claim_id, doc_id, canonical_key, change, existing_fact_id
             FROM '{kg}/fact_diff.parquet' ORDER BY claim_id, doc_id, canonical_key

@@ -599,3 +599,65 @@ def expected_impact_radius(
                     nxt.add(w)
         frontier = nxt
     return [{"entity_id": v, "depth": d} for v, d in sorted(depth.items())]
+
+
+def _undirected_adjacency(edges: list[tuple[str, str]]) -> dict[str, set[str]]:
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        if a is None or b is None or a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def expected_label_propagation(
+    edges: list[tuple[str, str]], *, iterations: int = 5
+) -> list[dict[str, Any]]:
+    """Serial replay of operators/communities.label_propagation: synchronous
+    rounds, most-frequent neighbour label, ties to the smallest label."""
+    from collections import Counter
+
+    adj = _undirected_adjacency(edges)
+    labels = {v: v for v in adj}
+    for _ in range(iterations):
+        nxt = {}
+        for v, neigh in adj.items():
+            votes = Counter(labels[n] for n in neigh)
+            best = max(votes.items(), key=lambda kv: (kv[1], _NegStr(kv[0])))
+            nxt[v] = best[0]
+        labels = nxt
+    return [{"entity": v, "community": c} for v, c in sorted(labels.items())]
+
+
+class _NegStr:
+    """Reverse-ordering wrapper so max() breaks count ties on the SMALLEST
+    label (expected_label_propagation)."""
+
+    __slots__ = ("s",)
+
+    def __init__(self, s: str) -> None:
+        self.s = s
+
+    def __lt__(self, other: "_NegStr") -> bool:
+        return self.s > other.s
+
+
+def expected_core_numbers(edges: list[tuple[str, str]]) -> list[dict[str, Any]]:
+    """Serial peeling replay for operators/communities.core_numbers: the
+    classic min-degree peel computes the exact k-core number, which is the
+    fixed point of the distributed H-index iteration (Lü et al. 2016)."""
+    adj = _undirected_adjacency(edges)
+    deg = {v: len(n) for v, n in adj.items()}
+    core: dict[str, int] = {}
+    remaining = set(adj)
+    level = 0
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        level = max(level, deg[v])  # the peel level never decreases
+        core[v] = level
+        remaining.discard(v)
+        for w in adj[v]:
+            if w in remaining:
+                deg[w] -= 1
+    return [{"entity": v, "core": c} for v, c in sorted(core.items())]
