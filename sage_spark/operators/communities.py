@@ -57,6 +57,45 @@ def _symmetric(edges: DataFrame) -> DataFrame:
     )
 
 
+def lpa_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round: every vertex adopts the most frequent
+    label among its neighbours, ties to the smallest label. Factored out so
+    the per-round physical plan is testable (the loop checkpoints each
+    round, which hides the round body behind an RDD scan)."""
+    votes = (
+        sym.join(labels.withColumnRenamed("vertex", "v"), "v")
+        .groupBy(F.col("u").alias("vertex"), "label")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("vertex").orderBy(F.col("n").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vertex", "label")
+    )
+
+
+def hindex_round(sym: DataFrame, vals: DataFrame) -> DataFrame:
+    """One H-index round: value(v) <- min(value(v), H of neighbours'
+    values), plus a `changed` flag column. H-index as max_i min(
+    sorted_desc[i], i): rank neighbours by value descending, take the best
+    min(value, rank)."""
+    nvals = sym.join(
+        vals.withColumnRenamed("vertex", "v").withColumnRenamed("value", "nval"), "v"
+    ).select(F.col("u").alias("vertex"), "nval")
+    w = Window.partitionBy("vertex").orderBy(F.col("nval").desc())
+    proposals = (
+        nvals.withColumn("__rn", F.row_number().over(w))
+        .groupBy("vertex")
+        .agg(F.max(F.least(F.col("nval"), F.col("__rn"))).alias("h"))
+    )
+    return vals.join(proposals, "vertex").select(
+        "vertex",
+        F.least(F.col("value"), F.col("h")).alias("value"),
+        (F.col("h") < F.col("value")).alias("changed"),
+    )
+
+
 def label_propagation(edges: DataFrame, *, iterations: int = 5) -> DataFrame:
     """Deterministic synchronous label propagation over an undirected edge
     list (columns u, v; any orientation, loops/dupes tolerated).
@@ -75,18 +114,7 @@ def label_propagation(edges: DataFrame, *, iterations: int = 5) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(iterations):
-        votes = (
-            sym.join(labels.withColumnRenamed("vertex", "v"), "v")
-            .groupBy(F.col("u").alias("vertex"), "label")
-            .agg(F.count("*").alias("n"))
-        )
-        w = Window.partitionBy("vertex").orderBy(F.col("n").desc(), F.col("label").asc())
-        labels = (
-            votes.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("vertex", "label")
-            .localCheckpoint(eager=True)
-        )
+        labels = lpa_round(sym, labels).localCheckpoint(eager=True)
     return labels.select(F.col("vertex").alias("entity"), F.col("label").alias("community"))
 
 
@@ -109,22 +137,7 @@ def core_numbers(edges: DataFrame, *, max_iterations: int = 100) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
-        nvals = sym.join(
-            vals.withColumnRenamed("vertex", "v").withColumnRenamed("value", "nval"), "v"
-        ).select(F.col("u").alias("vertex"), "nval")
-        # H-index as max_i min(sorted_desc[i], i): rank neighbours by value
-        # descending, take the best min(value, rank)
-        w = Window.partitionBy("vertex").orderBy(F.col("nval").desc())
-        proposals = (
-            nvals.withColumn("__rn", F.row_number().over(w))
-            .groupBy("vertex")
-            .agg(F.max(F.least(F.col("nval"), F.col("__rn"))).alias("h"))
-        )
-        updated = vals.join(proposals, "vertex").select(
-            "vertex",
-            F.least(F.col("value"), F.col("h")).alias("value"),
-            (F.col("h") < F.col("value")).alias("changed"),
-        )
+        updated = hindex_round(sym, vals)
         changed = updated.filter(F.col("changed")).limit(1).count()
         vals = updated.drop("changed").localCheckpoint(eager=True)
         if changed == 0:

@@ -304,3 +304,42 @@ def test_incremental_components_never_shuffles_assignments(spark, tmp_path):
         for r in connected_components(edges.unionByName(delta)).collect()
     }
     assert got == want
+
+
+def test_lpa_vote_plan_no_cartesian_partial_agg(spark):
+    """LPA's per-round vote (operators/communities.py): the neighbour⋈label
+    join must stay an equality hash join (hub votes can't survive a
+    nested-loop blow-up at 10^12 edges) and the vote count must partial-
+    aggregate map-side so a hub's in-votes combine before the shuffle."""
+    from sage_spark.operators.communities import _symmetric, lpa_round
+
+    import pyspark.sql.functions as F
+
+    edges = spark.createDataFrame(
+        [(f"v{i}", f"v{(i * 7 + 1) % 40}") for i in range(60)], "u string, v string"
+    )
+    sym = _symmetric(edges)
+    labels = sym.select(F.col("u").alias("vertex")).distinct().withColumn(
+        "label", F.col("vertex")
+    )
+    plan = _plan(spark, lpa_round(sym, labels))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial on the vote count
+
+
+def test_core_numbers_round_plan_no_cartesian(spark):
+    """Coreness (operators/communities.py): each H-index round is equality
+    joins + window + aggregate only — no nested-loop product anywhere, at
+    any iteration (localCheckpoint keeps the plan per-round, so round 1's
+    plan IS the steady-state plan)."""
+    from sage_spark.operators.communities import _symmetric, hindex_round
+
+    import pyspark.sql.functions as F
+
+    edges = spark.createDataFrame(
+        [(f"v{i}", f"v{(i * 3 + 2) % 25}") for i in range(50)], "u string, v string"
+    )
+    sym = _symmetric(edges)
+    vals = sym.groupBy(F.col("u").alias("vertex")).agg(F.count("*").alias("value"))
+    plan = _plan(spark, hindex_round(sym, vals))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
