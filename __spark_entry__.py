@@ -1149,6 +1149,24 @@ def q_graph_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("entity", F.col("core").cast("long").alias("core")).orderBy("entity")
 
 
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the two smallest entity ids — the
+    GraphRAG retrieval-relevance score ("entities by proximity to the
+    query's focus entities") over the mention graph; oracled against a
+    serial replay of the seed-teleport recurrence."""
+    from sage_spark.operators.pagerank import personalized_pagerank
+
+    edges = _synth_entity_edges(spark).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    verts = edges.select(F.col("src").alias("x")).unionByName(
+        edges.select(F.col("dst").alias("x"))
+    )
+    seeds = [r["x"] for r in verts.distinct().orderBy("x").limit(2).collect()]
+    ranks = personalized_pagerank(edges, seeds, damping=0.85, iterations=20)
+    return ranks.select("v", F.round("rank", 6).alias("rank")).orderBy("v")
+
+
 def q_agg_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable continuous aggregate: hour buckets from raw events, day
     buckets REAGGREGATED from the hour level (operators/rollup.py).
@@ -1575,6 +1593,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_text_unigram_logprob,
         "text_pii_redacted": q_text_pii_redacted,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "graph_ppr": q_graph_ppr,
     }
     out = queries()
     out.update({n: _wrap_conf(n, f) for n, f in extra.items()})
@@ -1727,6 +1746,16 @@ def _expected_kg_dir() -> str:
         "communities",
     )
     dump(expected_core_numbers(pr_edges), ["entity", "core"], "coreness")
+    from sage_spark.kernel.expected import expected_personalized_pagerank
+
+    ppr_seeds = sorted({a for a, _ in pr_edges} | {b for _, b in pr_edges})[:2]
+    ppr = [
+        {"v": r["v"], "rank": round(r["rank"], 6)}
+        for r in expected_personalized_pagerank(
+            pr_edges, ppr_seeds, damping=0.85, iterations=20
+        )
+    ]
+    dump(ppr, ["v", "rank"], "ppr")
     messages, convs, parts = expected_chat(SYNTH_DOCS, SYNTH_PERSONS, SEED)
     dump(convs, ["conversation_id", "conversation_type", "group_id", "n_messages", "updated_at"], "chat_conversations")
     dump(parts, ["person_id", "conversation_id"], "chat_participations")
@@ -2020,6 +2049,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_communities": f"""
             SELECT entity, community FROM '{kg}/communities.parquet' ORDER BY entity
         """,
+        "graph_ppr": f"SELECT v, rank FROM '{kg}/ppr.parquet' ORDER BY v",
         "graph_core_numbers": f"""
             SELECT entity, CAST(core AS BIGINT) AS core
             FROM '{kg}/coreness.parquet' ORDER BY entity

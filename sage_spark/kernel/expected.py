@@ -661,3 +661,32 @@ def expected_core_numbers(edges: list[tuple[str, str]]) -> list[dict[str, Any]]:
             if w in remaining:
                 deg[w] -= 1
     return [{"entity": v, "core": c} for v, c in sorted(core.items())]
+
+
+def expected_personalized_pagerank(
+    edges: list[tuple[str, str]],
+    seeds: list[str],
+    *,
+    damping: float = 0.85,
+    iterations: int = 20,
+) -> list[dict[str, Any]]:
+    """Serial replay of operators/pagerank.personalized_pagerank: teleport
+    uniform over the seed set, dangling mass restarts at the seeds."""
+    eset = sorted({(a, b) for a, b in edges})
+    sset = sorted(set(seeds))
+    verts = sorted({a for a, _ in eset} | {b for _, b in eset} | set(sset))
+    p = {v: (1.0 / len(sset) if v in set(sset) else 0.0) for v in verts}
+    out_deg: dict[str, int] = {}
+    for a, _ in eset:
+        out_deg[a] = out_deg.get(a, 0) + 1
+    rank = dict(p)
+    for _ in range(iterations):
+        dangling = sum(r for v, r in rank.items() if v not in out_deg)
+        summed = {v: 0.0 for v in verts}
+        for a, b in eset:
+            summed[b] += rank[a] / out_deg[a]
+        rank = {
+            v: (1.0 - damping) * p[v] + damping * (summed[v] + dangling * p[v])
+            for v in verts
+        }
+    return [{"v": v, "rank": rank[v]} for v in verts]

@@ -148,3 +148,84 @@ def pagerank(
                     return ranks
             prev_checkpointed = ranks
     return ranks
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[str],
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 20,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Personalized PageRank: random walks restart at the SEED set instead
+    of uniformly — rank(v) measures proximity to the seeds, which is the
+    GraphRAG retrieval-relevance score ("rank entities by closeness to the
+    query's focus entities") over the mention graph the retrieval path
+    already expands one hop at a time (operators/graph.expand_one_hop).
+
+    Teleport vector p = uniform over ``seeds`` (dangling mass restarts at
+    the seeds too, keeping the distribution normalized):
+    rank_{t+1}(v) = (1-d)·p(v) + d·(Σ in-contribs + dangling·p(v)).
+
+    Scale shape: identical to :func:`pagerank` — the only addition is the
+    teleport column, joined once from a BROADCAST seed set (a query's
+    focus entities are a handful of ids by construction, never data-sized).
+    Seeds absent from the graph still receive teleport mass (they rank
+    even when unconnected), matching the serial replay.
+    """
+    if not seeds:
+        raise ValueError("personalized_pagerank needs a non-empty seed list")
+    spark = edges.sparkSession
+    p0 = 1.0 / len(set(seeds))
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates(
+        ["src", "dst"]
+    ).localCheckpoint(eager=True)
+    seed_df = spark.createDataFrame(
+        [(s,) for s in sorted(set(seeds))], "v string"
+    )
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .unionByName(seed_df)
+        .distinct()
+    )
+    # teleport column: p0 on seeds, 0 elsewhere — one broadcast join, reused
+    # by every iteration from the checkpoint
+    verts = (
+        verts.join(F.broadcast(seed_df.withColumn("__seed", F.lit(True))), "v", "left")
+        .select("v", F.when(F.col("__seed"), F.lit(p0)).otherwise(F.lit(0.0)).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = verts.select("v", F.col("p").alias("rank"))
+    for it in range(iterations):
+        rd = ranks.join(out_deg.withColumnRenamed("src", "v"), "v", "left")
+        dangling = F.broadcast(
+            rd.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("deg").isNull(), F.col("rank"))), F.lit(0.0)
+                ).alias("__dang")
+            )
+        )
+        contribs = e.join(
+            rd.filter(F.col("deg").isNotNull()).withColumnRenamed("v", "src"), "src"
+        ).select(F.col("dst").alias("v"), (F.col("rank") / F.col("deg")).alias("c"))
+        summed = contribs.groupBy("v").agg(F.sum("c").alias("s"))
+        ranks = (
+            verts.join(summed, "v", "left")
+            .join(dangling)
+            .select(
+                "v",
+                (
+                    F.lit(1.0 - damping) * F.col("p")
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("__dang") * F.col("p"))
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % max(checkpoint_every, 1) == 0 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

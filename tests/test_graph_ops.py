@@ -215,3 +215,59 @@ def test_facts_as_of_boundary_semantics(spark):
     assert snap("2026-05-02T12:00:00+00:00") == {"A", "B"}
     assert snap(t2) == {"B", "C"}
     assert snap(t3) == {"B", "C"}
+
+
+def test_personalized_pagerank_replay_and_properties(spark):
+    """PPR: mass conserves at 1, ranks concentrate near the seed, a
+    disconnected seed still holds teleport mass, and the distributed
+    recurrence equals the serial replay to float precision."""
+    import random
+
+    from sage_spark.kernel.expected import expected_personalized_pagerank
+    from sage_spark.operators.pagerank import personalized_pagerank
+
+    edges = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"), ("a", "b"), ("b", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["v"]: r["rank"]
+        for r in personalized_pagerank(df, ["a"], iterations=25).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got["a"] == max(got.values())  # teleport target dominates
+    exp = {
+        r["v"]: r["rank"]
+        for r in expected_personalized_pagerank(edges, ["a"], iterations=25)
+    }
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-9, v
+
+    # a seed with no edges keeps all its teleport mass and ranks anyway
+    lone = {
+        r["v"]: r["rank"]
+        for r in personalized_pagerank(df, ["ghost"], iterations=10).collect()
+    }
+    assert abs(lone["ghost"] - 1.0) < 1e-9
+    assert abs(sum(lone.values()) - 1.0) < 1e-9
+
+    # random-graph parity, two seeds
+    rng = random.Random(11)
+    redges = sorted(
+        {
+            (f"v{rng.randrange(25)}", f"v{rng.randrange(25)}")
+            for _ in range(70)
+        }
+    )
+    redges = [(a, b) for a, b in redges if a != b]
+    rdf = spark.createDataFrame(redges, "src string, dst string")
+    seeds = ["v0", "v1"]
+    g = {
+        r["v"]: r["rank"]
+        for r in personalized_pagerank(rdf, seeds, iterations=20).collect()
+    }
+    e = {
+        r["v"]: r["rank"]
+        for r in expected_personalized_pagerank(redges, seeds, iterations=20)
+    }
+    assert set(g) == set(e)
+    for v in e:
+        assert abs(g[v] - e[v]) < 1e-9, v
