@@ -75,6 +75,13 @@ def main() -> None:
     )
     ap.add_argument("--reembed-threshold", type=float, default=0.1)
     ap.add_argument(
+        "--rank-impact", action="store_true",
+        help="add a personalized-PageRank proximity score (seeded at the "
+             "changed entities) to impacted_entities — the re-process "
+             "priority order when the radius is too large to refresh at once",
+    )
+    ap.add_argument("--ppr-iterations", type=int, default=10)
+    ap.add_argument(
         "--synthetic", type=int, default=0,
         help="generate an N-doc synthetic batch instead of --input",
     )
@@ -128,7 +135,26 @@ def main() -> None:
         F.col("subject_entity_id").isNotNull() & F.col("object_entity_id").isNotNull()
     ).select(F.col("subject_entity_id").alias("src"), F.col("object_entity_id").alias("dst"))
     impacted = impact_radius(seeds, edges, max_depth=args.max_depth)
-    affected = affected_documents(impacted, store_claims)
+
+    if args.rank_impact:
+        # PPR from the changed entities orders the radius by how much of a
+        # restart-at-the-change random walk lands on each entity — the
+        # refresh-priority score. The seed list is O(batch) by construction
+        # (entities of the batch's non-confirmed claims), never store-sized.
+        from sage_spark.operators.pagerank import personalized_pagerank
+
+        seed_ids = [r["entity_id"] for r in seeds.collect()]
+        if seed_ids:
+            ranks = personalized_pagerank(
+                edges, seed_ids, iterations=args.ppr_iterations
+            ).withColumnRenamed("v", "entity_id")
+            impacted = impacted.join(ranks, "entity_id", "left").select(
+                "entity_id", "depth", F.coalesce("rank", F.lit(0.0)).alias("rank")
+            )
+        else:
+            impacted = impacted.withColumn("rank", F.lit(0.0))
+
+    affected = affected_documents(impacted.select("entity_id", "depth"), store_claims)
 
     def write(df, name: str) -> None:
         path = f"{args.output}/{name}" if out is None else str(out / name)
@@ -153,6 +179,11 @@ def main() -> None:
         "affected_documents": affected.count(),
         "max_depth": args.max_depth,
     }
+    if args.rank_impact and "rank" in impacted.columns:
+        summary["top_impacted"] = [
+            {"entity_id": r["entity_id"], "depth": r["depth"], "rank": round(r["rank"], 6)}
+            for r in impacted.orderBy(F.col("rank").desc(), "entity_id").limit(5).collect()
+        ]
 
     if args.new_embeddings:
         chunks = store.read(spark, "chunks")

@@ -790,7 +790,7 @@ def test_maintain_job_end_to_end(spark, tmp_path):
         [
             sys.executable, "jobs/run_maintain.py",
             "--store", str(kg), "--synthetic", "800", "--output", str(out),
-            "--run-ts", "2026-05-02T00:00:00+00:00",
+            "--run-ts", "2026-05-02T00:00:00+00:00", "--rank-impact",
         ],
         capture_output=True, text=True, timeout=500, check=True, cwd="/root/repo",
     )
@@ -815,6 +815,18 @@ def test_maintain_job_end_to_end(spark, tmp_path):
     impacted = spark.read.parquet(str(out / "impacted_entities"))
     assert summary["impacted_by_depth"]["0"] == summary["changed_entities"] > 0
     assert impacted.count() == sum(summary["impacted_by_depth"].values())
+
+    # --rank-impact: every impacted entity carries a PPR refresh-priority
+    # score, scores are a sub-distribution of the seed-restart walk (the
+    # radius is a subset of the graph), and the summary's top list is the
+    # rank-descending head
+    assert "rank" in impacted.columns
+    ranksum = impacted.agg(F.sum("rank").alias("s")).collect()[0]["s"]
+    assert impacted.filter(F.col("rank") < 0).count() == 0
+    assert 0.0 < ranksum <= 1.0 + 1e-9
+    top = summary["top_impacted"]
+    assert top == sorted(top, key=lambda r: (-r["rank"], r["entity_id"]))
+    assert top[0]["rank"] > 0
 
     affected = spark.read.parquet(str(out / "affected_documents"))
     assert affected.count() == summary["affected_documents"] > 0
