@@ -65,6 +65,20 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(_t(sf_dir, name))
 
 
+def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read + input-spread for the per-row-CPU-heavy queries (regex stats,
+    hashing, vector math, Arrow kernels): the driver tables are single
+    parquet files with 1-2 row groups, so their scans arrive as 1-2 splits
+    and the expensive projection would run on 1-2 cores of local[N]. The
+    spread guard round-robins such inputs across the session parallelism
+    first (operators/spread.py); at warehouse scale (many splits) it is an
+    exact no-op. Measured r6 at sf1: text_language_id 8.3 s -> 0.9 s,
+    text_quality 9.2 s -> 2.8 s from the spread alone."""
+    from sage_spark.operators.spread import spread_input
+
+    return spread_input(_read(spark, sf_dir, name))
+
+
 # --------------------------------------------------------------------------
 # KG pipeline queries (synthetic webtext; deterministic at any parallelism)
 # --------------------------------------------------------------------------
@@ -293,14 +307,24 @@ def q_semi_suppliers_with_recent_shipments(spark: SparkSession, sf_dir: str) -> 
 
 
 def q_window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-1 per customer as max(struct(price, -orderkey)): identical row
+    # choice to the row_number window (max price, then min orderkey) but the
+    # aggregate partial-combines map-side — one candidate per customer per
+    # map task crosses the exchange instead of every order row, and no
+    # per-partition sort (guide §2.3). Measured r6 at sf1: 1.97 s -> 0.98 s.
     orders = _read(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("top_totalprice"))
-        .orderBy("o_custkey")
+    top = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.struct(
+                F.col("o_totalprice").alias("p"), (-F.col("o_orderkey")).alias("nk")
+            )
+        ).alias("__top")
     )
+    return top.select(
+        "o_custkey",
+        (-F.col("__top.nk")).alias("o_orderkey"),
+        F.round("__top.p", 2).alias("top_totalprice"),
+    ).orderBy("o_custkey")
 
 
 def q_window_degree_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,7 +434,7 @@ def q_recency_weighted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
@@ -419,7 +443,7 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     stats = with_quality_stats(docs, "text")
     return stats.select(
         "doc_id",
@@ -432,7 +456,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     return with_language_id(docs, "text").select("doc_id", "lang_pred").orderBy("doc_id")
 
 
@@ -441,17 +465,19 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds."""
     from sage_spark.operators.textstats import quality_filter
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     kept = quality_filter(docs, "text", min_tokens=20, min_alpha_ratio=0.6, min_stopword_ratio=0.005)
     return kept.select("doc_id").orderBy("doc_id")
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     return with_fingerprint(docs, "text").select("doc_id", "fingerprint").orderBy("doc_id")
 
 
 def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no input spread here: sha2 is cheap per row, and the groupBy
+    # redistributes anyway — a pre-shuffle only adds an exchange (measured)
     docs = _read(spark, sf_dir, "documents")
     groups = exact_duplicates(docs, "text", "doc_id")
     return groups.select("fingerprint", "dup_count", F.explode("doc_ids").alias("doc_id")).orderBy(
@@ -460,12 +486,20 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # this query only needs the surviving doc_ids, so it skips the full-row
+    # exact_dedup operator for a narrow (fingerprint, min_id) partial
+    # aggregate — same keep rule (min id per fingerprint), but the exchange
+    # carries two short columns instead of whole document rows
     docs = _read(spark, sf_dir, "documents")
-    return exact_dedup(docs, "text", "doc_id").select("doc_id").orderBy("doc_id")
+    fp = docs.select(
+        F.sha2(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")), 256).alias("__fp"),
+        "doc_id",
+    )
+    return fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id").orderBy("doc_id")
 
 
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings").withColumn(
+    emb = _read_spread(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     top = cosine_topk(emb, QUERY_VEC, k=10)
@@ -475,7 +509,7 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings").withColumn(
+    emb = _read_spread(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     pairs = embedding_near_duplicates(emb, "embedding", "vec_id", threshold=0.5)
@@ -577,12 +611,12 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     return with_simhash(docs, "text").select("doc_id", "simhash").orderBy("doc_id")
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings").withColumn(
+    emb = _read_spread(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     top = lsh_topk(emb, QUERY_VEC, k=10, n_planes=8, multiprobe_hamming=2)
@@ -592,7 +626,7 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings").withColumn(
+    emb = _read_spread(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     top = ivf_topk(emb, QUERY_VEC, k=10, n_cells=16, n_probe=8)
@@ -623,7 +657,7 @@ def _recall_vs_exact(spark: SparkSession, sf_dir: str, ann_fn) -> DataFrame:
     ~0.35), so the ANN path must recover all 10. Semi-join of the two top-k
     id sets; no driver-side set math."""
     emb = (
-        _read(spark, sf_dir, "embeddings")
+        _read_spread(spark, sf_dir, "embeddings")
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
         .select("vec_id", "embedding", "label")
         .unionByName(_planted_neighbors(spark))
@@ -964,7 +998,7 @@ def q_text_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     content hash of the redacted text."""
     from sage_spark.operators.textstats import redact_pii
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     out = redact_pii(docs, "text")
     return out.select("doc_id", F.sha2("text_redacted", 256).alias("redacted_sha")).orderBy("doc_id")
 
@@ -974,7 +1008,7 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction) per document."""
     from sage_spark.operators.textstats import with_repetition_stats
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     return with_repetition_stats(docs, "text", "doc_id").orderBy("doc_id")
 
 
@@ -982,7 +1016,7 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram LM-proxy quality score per document."""
     from sage_spark.operators.textstats import with_unigram_logprob
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     return with_unigram_logprob(docs, "text", "doc_id").orderBy("doc_id")
 
 

@@ -139,14 +139,16 @@ def main() -> None:
     if args.rank_impact:
         # PPR from the changed entities orders the radius by how much of a
         # restart-at-the-change random walk lands on each entity — the
-        # refresh-priority score. The seed list is O(batch) by construction
-        # (entities of the batch's non-confirmed claims), never store-sized.
+        # refresh-priority score. The seed FRAME is handed over as-is
+        # (personalized_pagerank accepts a one-column DataFrame since r6):
+        # a per-message batch's seeds are O(batch), but a bulk re-ingest's
+        # changed-entity set is corpus-shaped, so it must never round-trip
+        # through a driver-side list.
         from sage_spark.operators.pagerank import personalized_pagerank
 
-        seed_ids = [r["entity_id"] for r in seeds.collect()]
-        if seed_ids:
+        if not seeds.isEmpty():
             ranks = personalized_pagerank(
-                edges, seed_ids, iterations=args.ppr_iterations
+                edges, seeds.select("entity_id"), iterations=args.ppr_iterations
             ).withColumnRenamed("v", "entity_id")
             impacted = impacted.join(ranks, "entity_id", "left").select(
                 "entity_id", "depth", F.coalesce("rank", F.lit(0.0)).alias("rank")

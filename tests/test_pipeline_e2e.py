@@ -883,3 +883,122 @@ def test_kg_stream_job_end_to_end(spark, tmp_path):
 
     s3 = drain()
     assert s3 == s2
+
+
+def test_canonicalize_uncontested_fast_path_matches_serial_replay(spark):
+    """r6: canonicalize_claims resolves uncontested rows (singleton new-key
+    claims, groups with no promotable claim) vectorized instead of through
+    the per-row dict walk. This pins the split's equivalence on an
+    adversarial corpus that exercises every branch boundary: promotable and
+    non-promotable singletons (None and '' promotion_status fallbacks),
+    all-non-promotable multi-claim groups, all-equal confirm chains,
+    supersede chains, pending_review fan-out, APPROVAL_STATE equality,
+    empty-string summary fallbacks, and keys with store facts (which must
+    always take the ordered walk, including single-claim ones)."""
+    import itertools
+
+    from sage_spark.kernel.facts import replay_key_mutations
+    from sage_spark.operators.canonicalize import (
+        _CLAIM_REPLAY_COLS,
+        canonicalize_claims,
+        split_claim_updates,
+        split_edges,
+        split_facts,
+    )
+    from sage_spark.schema import FACTS_SCHEMA
+
+    seen_at = "2026-06-01T00:00:00+00:00"
+
+    def claim(key, cid, seq, **over):
+        base = {c: None for c in _CLAIM_REPLAY_COLS}
+        base.update(
+            canonical_key=key, claim_id=cid, doc_id=f"d{seq}", claim_seq=seq,
+            sent_at=f"2026-05-0{1 + seq % 9}T00:00:00+00:00", claim_type="COMMITMENT",
+            predicate="reports_to", subject_key="s", object_key="o",
+            value_text=f"v-{key}", normalized_text=f"text {key}",
+            graph_worthy=True, resolution_status="resolved",
+            promotion_status=None, canonical_confidence=0.9,
+        )
+        base.update(over)
+        return base
+
+    rows = [
+        # singleton promotable / non-promotable variants
+        claim("k-single", "c1", 0),
+        claim("k-np-none", "c2", 0, graph_worthy=False),
+        claim("k-np-empty", "c3", 0, resolution_status="pending", promotion_status=""),
+        claim("k-np-status", "c4", 0, canonical_confidence=0.5, promotion_status="held"),
+        claim("k-np-req", "c5", 0, claim_type="REQUEST"),
+        # summary fallbacks (empty + None normalized_text)
+        claim("k-sum-empty", "c6", 0, normalized_text="", value_text="vt"),
+        claim("k-sum-none", "c7", 0, normalized_text=None, value_text=None),
+        # all-non-promotable multi-claim group
+        claim("k-allnp", "c8", 0, graph_worthy=False),
+        claim("k-allnp", "c9", 1, resolution_status="pending"),
+        claim("k-allnp", "c10", 2, canonical_confidence=0.1),
+        # confirm chain (all equal)
+        claim("k-eq", "c11", 0),
+        claim("k-eq", "c12", 1),
+        claim("k-eq", "c13", 2),
+        # supersede chain (walk)
+        claim("k-sup", "c14", 0),
+        claim("k-sup", "c15", 1, value_text="changed"),
+        # pending_review (low-confidence conflicting)
+        claim("k-rev", "c16", 0),
+        claim("k-rev", "c17", 1, value_text="other", canonical_confidence=0.7),
+        # APPROVAL_STATE equality (only key+value compared)
+        claim("k-app", "c18", 0, claim_type="APPROVAL_STATE", predicate="p1"),
+        claim("k-app", "c19", 1, claim_type="APPROVAL_STATE", predicate="p2"),
+        # key with a store fact + one claim: MUST walk (not a singleton)
+        claim("k-store", "c20", 0),
+    ]
+    claims_df = spark.createDataFrame(
+        [tuple(r[c] for c in _CLAIM_REPLAY_COLS) for r in rows],
+        "canonical_key string, claim_id string, doc_id string, claim_seq int, "
+        "sent_at string, claim_type string, predicate string, subject_key string, "
+        "subject_entity_id string, subject_entity_type string, object_key string, "
+        "object_entity_id string, object_entity_type string, value_text string, "
+        "payload_json string, normalized_text string, scope_type string, "
+        "scope_id string, temporal_start string, temporal_end string, "
+        "temporal_granularity string, timezone string, graph_worthy boolean, "
+        "resolution_status string, promotion_status string, canonical_confidence double",
+    )
+    store_fact = {f.name: None for f in FACTS_SCHEMA.fields}
+    store_fact.update(
+        fact_id="f-store", canonical_key="k-store", claim_type="COMMITMENT",
+        predicate="reports_to", subject_key="s", object_key="o",
+        value_text="v-k-store", summary="text k-store", status="current",
+        confidence=0.9, first_seen_at="2026-04-01T00:00:00+00:00",
+        last_seen_at="2026-04-01T00:00:00+00:00", support_count=1,
+    )
+    facts_df = spark.createDataFrame(
+        [tuple(store_fact[f.name] for f in FACTS_SCHEMA.fields)], FACTS_SCHEMA
+    )
+
+    union = canonicalize_claims(claims_df, facts_df, seen_at=seen_at)
+    got_facts = {tuple(r) for r in split_facts(union).collect()}
+    got_updates = {tuple(r) for r in split_claim_updates(union).collect()}
+    got_edges = {tuple(r) for r in split_edges(union).collect()}
+
+    exp_facts, exp_updates, exp_edges = set(), set(), set()
+    by_key = itertools.groupby(
+        sorted(rows, key=lambda r: (r["canonical_key"], r["sent_at"], r["doc_id"], r["claim_seq"])),
+        key=lambda r: r["canonical_key"],
+    )
+    fact_cols = [f.name for f in FACTS_SCHEMA.fields]
+    for key, group in by_key:
+        store = [store_fact] if key == "k-store" else []
+        out = replay_key_mutations(store, list(group), seen_at)
+        exp_facts |= {tuple(f.get(c) for c in fact_cols) for f in out.facts}
+        exp_updates |= {
+            (u["claim_id"], u["promotion_status"], u["mutation_action"])
+            for u in out.claim_updates
+        }
+        exp_edges |= {
+            (e["claim_id"], e["fact_id"], e["relation_type"]) for e in out.edges
+        }
+    assert got_facts == exp_facts
+    assert got_updates == exp_updates
+    assert got_edges == exp_edges
+    # the confirm chain must have aggregated support, not three facts
+    assert sum(1 for f in got_facts if f[1] == "k-eq") == 1
