@@ -486,16 +486,33 @@ def duplicated_spans(
 
     Scale shape: tokenize + window construction are one JVM-side projection
     (transform over sequence — no Python, no explode of raw tokens); the
-    explode emits ~tokens/stride rows; the single shuffle partitions by the
-    window hash (count + first-rank via one window function). ``stride`` > 1
-    trades recall for an explode-size divisor on petabyte corpora. Skew
-    bound: the hottest span's whole occurrence list lands in one partition
-    (window functions don't partial-aggregate) — at 100 TB run boilerplate
-    removal first so site chrome never reaches this operator, and/or raise
-    ``stride``.
-    """
-    from pyspark.sql.window import Window
+    explode emits ~tokens/stride rows. Count and first-occurrence both come
+    from ONE partial aggregation per span hash — count(*) plus
+    min(struct(id, pos)) — joined back to the occurrence stream, so each
+    map task forwards a single combined row per span it sees and the
+    reducer-side state per span is O(1). The r5 form computed both via
+    window functions over the hash partition, which serialized the hottest
+    span's ENTIRE occurrence list into one partition (windows cannot
+    partial-aggregate or be skew-split); the join-back form partial-
+    aggregates map-side and the equi-join is AQE-skew-splittable, removing
+    that bound. The aggregate side is also pre-filtered to spans with
+    count >= ``min_count`` before the join, so unique spans (the vast
+    majority of a healthy corpus) never produce a join match. ``stride`` >
+    1 trades recall for an explode-size divisor on petabyte corpora.
 
+    The span stream feeds both the aggregate and the join, so it is
+    materialized once (localCheckpoint — the unigram-TF persisted-
+    intermediate discipline) rather than re-deriving the tokenize+hash
+    projection per consumer. The checkpointed RDD loses its size
+    statistics and the planner would otherwise build the JOIN's hash
+    relation from the multi-billion-row occurrence stream (measured:
+    BuildLeft over the stream — an OOM at scale), so the join carries an
+    explicit merge hint: sort-merge never broadcasts either side blind and
+    stays AQE-skew-splittable. Measured trade on a planted 2M-occurrence
+    single hot span (OPTIMIZATION_r06.md): ~1.6x local wall vs the window
+    form, in exchange for removing the bound that serializes the hottest
+    span's occurrence list into one task at cluster scale.
+    """
     toks = df.select(
         F.col(id_col),
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[A-Za-z0-9]+"), F.lit(0)).alias(
@@ -514,14 +531,21 @@ def duplicated_spans(
         toks.filter(n >= width)
         .select(F.col(id_col), F.explode(spans).alias("s"))
         .select(F.col(id_col), F.col("s.pos").alias("pos"), F.col("s.h").alias("__h"))
+        .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("__h")
-    order = Window.partitionBy("__h").orderBy(id_col, "pos")
-    return (
-        ex.withColumn("n_occurrences", F.count("*").over(w))
-        .withColumn("is_first", F.row_number().over(order) == 1)
+    stats = (
+        ex.groupBy("__h")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"),
+        )
         .filter(F.col("n_occurrences") >= min_count)
-        .select(id_col, "pos", "n_occurrences", "is_first")
+    )
+    return ex.join(stats.hint("merge"), "__h").select(
+        id_col,
+        "pos",
+        "n_occurrences",
+        (F.struct(F.col(id_col), F.col("pos")) == F.col("__first")).alias("is_first"),
     )
 
 

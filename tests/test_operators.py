@@ -661,8 +661,10 @@ def test_duplicated_spans_planted_and_edges(spark):
 
 def test_duplicated_spans_stride_and_plan(spark):
     """stride > 1 keeps only stride-aligned window starts (the explode-size
-    divisor for petabyte corpora), and the whole operator runs in ONE
-    shuffle — the window-hash partition for count + first-rank."""
+    divisor for petabyte corpora), and both span statistics come from a
+    PARTIAL aggregation joined back — never a window function over the
+    occurrence stream, whose hottest-span partition cannot be split
+    (the r5 skew bound, removed in r6)."""
     from sage_spark.operators.dedup import duplicated_spans
 
     text = "one two three four five six seven eight"
@@ -675,9 +677,11 @@ def test_duplicated_spans_stride_and_plan(spark):
         duplicated_spans(docs, "text", "doc_id", width=4)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    import re as _re
-
-    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+    # no Window over the occurrences; the count aggregates map-side
+    # (partial_count in the pre-shuffle HashAggregate), and the join back is
+    # an equi-join AQE can skew-split
+    assert "Window" not in plan
+    assert "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan  # pure JVM
 
 
