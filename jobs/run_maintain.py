@@ -147,8 +147,17 @@ def main() -> None:
         from sage_spark.operators.pagerank import personalized_pagerank
 
         if not seeds.isEmpty():
+            # the walk runs over the SYMMETRIZED graph, matching the
+            # undirected BFS that defined the radius — on the directed store
+            # edges, entities reachable only against edge direction (e.g.
+            # subjects of claims pointing INTO a changed entity) would
+            # receive rank exactly 0 and the refresh order would be
+            # uninformative for that whole class
+            sym = edges.unionByName(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).filter(F.col("src") != F.col("dst"))
             ranks = personalized_pagerank(
-                edges, seeds.select("entity_id"), iterations=args.ppr_iterations
+                sym, seeds.select("entity_id"), iterations=args.ppr_iterations
             ).withColumnRenamed("v", "entity_id")
             impacted = impacted.join(ranks, "entity_id", "left").select(
                 "entity_id", "depth", F.coalesce("rank", F.lit(0.0)).alias("rank")
@@ -182,9 +191,12 @@ def main() -> None:
         "max_depth": args.max_depth,
     }
     if args.rank_impact and "rank" in impacted.columns:
+        # order on the ROUNDED rank (the precision the summary reports) so
+        # two entities that tie after rounding can never disagree with the
+        # reported order
         summary["top_impacted"] = [
             {"entity_id": r["entity_id"], "depth": r["depth"], "rank": round(r["rank"], 6)}
-            for r in impacted.orderBy(F.col("rank").desc(), "entity_id").limit(5).collect()
+            for r in impacted.orderBy(F.round("rank", 6).desc(), "entity_id").limit(5).collect()
         ]
 
     if args.new_embeddings:

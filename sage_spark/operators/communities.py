@@ -57,6 +57,37 @@ def _symmetric(edges: DataFrame) -> DataFrame:
     )
 
 
+def write_symmetric_edges(edges: DataFrame, table: str, path: str, *, buckets: int = 16) -> None:
+    """Persist the canonical symmetric adjacency bucketed+sorted on ``v``
+    (the neighbour side every iterative operator joins on): LPA votes, the
+    H-index rounds, and the impact-radius frontier all join
+    ``sym ⋈ state ON v``, so a v-bucketed table feeds every round with ZERO
+    edge-side Exchange — the same deployment shape as the src-bucketed
+    PageRank edge table (operators/pagerank.py). Symmetrization happens
+    once here, at write time, not per run."""
+    from .bucketing import write_bucketed
+
+    write_bucketed(_symmetric(edges), table, path, "v", buckets=buckets)
+
+
+def label_propagation_on_bucketed_edges(spark, table: str, **kwargs) -> DataFrame:
+    """LPA over a ``write_symmetric_edges`` table: the bucketed scan carries
+    HashPartitioning(v) that survives AQE, so every round's vote join reads
+    the edges with no Exchange — only the iteration-varying label table
+    moves (plan-pinned in tests/test_plans.py)."""
+    from .bucketing import read_bucketed
+
+    return label_propagation(read_bucketed(spark, table), prepartitioned=True, **kwargs)
+
+
+def core_numbers_on_bucketed_edges(spark, table: str, **kwargs) -> DataFrame:
+    """Coreness over a ``write_symmetric_edges`` table — zero edge-side
+    Exchange per H-index round, as above."""
+    from .bucketing import read_bucketed
+
+    return core_numbers(read_bucketed(spark, table), prepartitioned=True, **kwargs)
+
+
 def lpa_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
     """One synchronous LPA round: every vertex adopts the most frequent
     label among its neighbours, ties to the smallest label. Factored out so
@@ -96,7 +127,9 @@ def hindex_round(sym: DataFrame, vals: DataFrame) -> DataFrame:
     )
 
 
-def label_propagation(edges: DataFrame, *, iterations: int = 5) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, *, iterations: int = 5, prepartitioned: bool = False
+) -> DataFrame:
     """Deterministic synchronous label propagation over an undirected edge
     list (columns u, v; any orientation, loops/dupes tolerated).
 
@@ -105,8 +138,13 @@ def label_propagation(edges: DataFrame, *, iterations: int = 5) -> DataFrame:
     Per round every vertex adopts the most frequent label among its
     neighbours (its own label does not vote), ties broken by the smallest
     label — the classic LPA vote made deterministic.
+
+    ``prepartitioned=True`` declares ``edges`` an already-canonical
+    symmetric adjacency whose scan carries HashPartitioning(v) (a
+    ``write_symmetric_edges`` table): the per-round symmetrize/checkpoint
+    is skipped so the scan partitioning reaches every vote join intact.
     """
-    sym = _symmetric(edges)
+    sym = edges if prepartitioned else _symmetric(edges)
     labels = (
         sym.select(F.col("u").alias("vertex"))
         .distinct()
@@ -118,7 +156,9 @@ def label_propagation(edges: DataFrame, *, iterations: int = 5) -> DataFrame:
     return labels.select(F.col("vertex").alias("entity"), F.col("label").alias("community"))
 
 
-def core_numbers(edges: DataFrame, *, max_iterations: int = 100) -> DataFrame:
+def core_numbers(
+    edges: DataFrame, *, max_iterations: int = 100, prepartitioned: bool = False
+) -> DataFrame:
     """k-core number per vertex of an undirected edge list (columns u, v).
 
     Iterated neighbourhood H-index: value_0(v) = degree(v);
@@ -129,8 +169,9 @@ def core_numbers(edges: DataFrame, *, max_iterations: int = 100) -> DataFrame:
     round changes nothing (one limit(1).count() probe per round).
 
     Returns (entity, core) for every vertex with degree ≥ 1.
+    ``prepartitioned`` as in :func:`label_propagation`.
     """
-    sym = _symmetric(edges)
+    sym = edges if prepartitioned else _symmetric(edges)
     vals = (
         sym.groupBy(F.col("u").alias("vertex"))
         .agg(F.count("*").alias("value"))

@@ -140,6 +140,7 @@ def impact_radius(
     src: str = "src",
     dst: str = "dst",
     max_depth: int = 2,
+    prepartitioned: bool = False,
 ) -> DataFrame:
     """Min-hop BFS over the undirected entity graph from the seed set.
 
@@ -148,14 +149,23 @@ def impact_radius(
     (m)`` collects 1..d; including the seeds makes the result self-contained
     for the downstream doc/chunk join). Each round is one vertex-keyed join
     + anti-join against the reached set, lineage checkpointed so the plan
-    stays flat at any depth (the operators/components.py discipline)."""
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
-        .dropDuplicates(["a", "b"])
-        .localCheckpoint(eager=True)
-    )
+    stays flat at any depth (the operators/components.py discipline).
+
+    The frontier joins the adjacency on ``v`` (the same orientation as the
+    LPA/H-index rounds), so ``prepartitioned=True`` with a
+    ``communities.write_symmetric_edges`` table (bucketed on v) runs every
+    BFS round with zero edge-side Exchange; pass such a table as ``edges``
+    with ``src="u", dst="v"``."""
+    if prepartitioned:
+        sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    else:
+        sym = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+            .filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+            .dropDuplicates(["u", "v"])
+            .localCheckpoint(eager=True)
+        )
     reached = (
         seeds.select(F.col(seeds.columns[0]).alias("entity_id"))
         .distinct()
@@ -165,8 +175,8 @@ def impact_radius(
     frontier = reached.select("entity_id")
     for d in range(1, max_depth + 1):
         nxt = (
-            sym.join(frontier.withColumnRenamed("entity_id", "a"), "a")
-            .select(F.col("b").alias("entity_id"))
+            sym.join(frontier.withColumnRenamed("entity_id", "v"), "v")
+            .select(F.col("u").alias("entity_id"))
             .distinct()
             .join(reached.select("entity_id"), "entity_id", "left_anti")
             .withColumn("depth", F.lit(d))

@@ -45,13 +45,15 @@ def main() -> None:
     from sage_spark.operators.communities import core_numbers, label_propagation
     from sage_spark.operators.triangles import triangle_counts
 
-    # skewed random graph: target = xxhash(src, k) % n biased by squaring the
-    # uniform draw toward low ids -> low-id vertices become hubs
+    # skewed random graph: target id = (h/n)*(h mod n) mod n, the product of
+    # two independent uniform residues — multiplication biases the product
+    # toward low ids, so low-id vertices become hubs. pmod (not abs): abs of
+    # Long.MIN_VALUE stays negative and would format an out-of-range vertex
     src = spark.range(n * avg_deg).select(
         (F.col("id") % n).alias("s"), (F.col("id") / n).cast("long").alias("k")
     )
     edges = (
-        src.withColumn("h", F.abs(F.xxhash64("s", "k")) % F.lit(n * n))
+        src.withColumn("h", F.pmod(F.xxhash64("s", "k"), F.lit(n * n)))
         .withColumn("u", F.format_string("v%08d", "s"))
         .withColumn("v", F.format_string("v%08d", (F.col("h") / n).cast("long") * (F.col("h") % n) % n))
         .filter(F.col("u") != F.col("v"))
