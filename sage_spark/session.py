@@ -65,12 +65,6 @@ def build_spark(
         .config("spark.python.unix.domain.socket.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # floor on scan parallelism: a 100-300 MB single-file table must not
-        # arrive as 1-2 splits on a 32-core session (the split planner then
-        # caps the whole scan stage at 1-2 tasks). At warehouse scale
-        # totalBytes/minPartitionNum >> maxPartitionBytes, so the floor is
-        # inert; it only bites where the input is small. (Split count is
-        # still bounded by row-group count per file.)
         # JSON-blob-heavy tables (grounding/payload) compress ~10x under
         # zstd; staging I/O is disk-bound otherwise
         .config("spark.sql.parquet.compression.codec", "zstd")
@@ -83,10 +77,6 @@ def build_spark(
         builder = builder.master(master)
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # see the minPartitionNum note above: floor scan splits at the
-        # session's parallelism (standalone mode only — under spark-submit
-        # the cluster's own defaults govern, same rule as shuffle partitions)
-        builder = builder.config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
     if not submitted:
         # under spark-submit the driver JVM already exists; driver memory can
         # only come from the submit command line, so setting it here is noise
