@@ -1189,3 +1189,28 @@ def test_cap_per_group_equals_global_window_and_passes_light_groups(spark):
     assert got == want
     assert {(g, i) for (g, i) in got if g == "tiny"} == {("tiny", 0), ("tiny", 1)}
     assert len([1 for (g, _) in got if g == "big"]) == 5
+
+
+def test_lsh_bucket_arrow_matches_native(spark):
+    """r6: the Arrow LSH-bucket kernel must produce the exact bucket of the
+    pure-column HOF form for every row, including null embeddings (the
+    sign of a dot product cannot flip under summation reordering unless
+    |dot| < 1e-16, and the planted grid exercises many sign boundaries)."""
+    from pyspark.sql import functions as F
+
+    from sage_spark.kernel.embed import hash_embedding
+    from sage_spark.operators.similarity import with_lsh_bucket
+
+    rows = [(i, hash_embedding(f"lsh-parity-{i}", 16)) for i in range(300)]
+    rows.append((300, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {
+        r["vec_id"]: r["lsh_bucket"]
+        for r in with_lsh_bucket(df, dim=16, n_planes=8, impl="arrow").collect()
+    }
+    b = {
+        r["vec_id"]: r["lsh_bucket"]
+        for r in with_lsh_bucket(df, dim=16, n_planes=8, impl="native").collect()
+    }
+    assert a == b
+    assert a[300] is None
