@@ -111,6 +111,27 @@ _QUALIFIER_FRAGMENT_RE = re.compile(
     r"^(?P<prefix>for|regarding|about|re|under|within|on)\s+(?P<context>[A-Za-z0-9][^;,.!?]*)$",
     re.IGNORECASE,
 )
+# Precompiled forms of the formerly module-cached inline patterns (identical
+# pattern text + flags; re.sub/re.search with a string pattern pays a cache
+# lookup + flag parse per call on the per-claim hot path).
+_WE_RE = re.compile(r"\bwe\b", re.IGNORECASE)
+_LETS_RE = re.compile(r"\blet'?s\b", re.IGNORECASE)
+_SEMI_SPLIT_RE = re.compile(r"\s*;\s*")
+_LEADING_YOU_RE = re.compile(r"^\s*you\b")
+_REL_YOU_RE = re.compile(r"\b(?P<relation>to|with|for)\s+you\b")
+_LEADING_NAME_RE = re.compile(rf"^\s*(?P<name>{_CAPITALIZED_NAME})\b")
+_REL_NAME_RE = re.compile(rf"\b(?P<relation>to|with|for)\s+(?P<name>{_CAPITALIZED_NAME})\b")
+_LEADING_YOU_CI_RE = re.compile(r"^\s*you\b", re.IGNORECASE)
+_REL_YOU_CI_RE = re.compile(r"\b(?:to|with|for)\s+you\b", re.IGNORECASE)
+_DANGLING_PREP_PAIR_RE = re.compile(
+    r"\b(?:by|at|on|before|after|around)\s+(for|regarding|about|re|under|within|on)\b",
+    re.IGNORECASE,
+)
+_TRAILING_INSTEAD_RE = re.compile(r"(?:,\s*)?\binstead\b\s*$", re.IGNORECASE)
+_TRAILING_PREP_RE = re.compile(r"\b(?:by|before|after|at|on|to|for|with|around)\b\s*$", re.IGNORECASE)
+_LEADING_PREP_RE = re.compile(r"^\s*(?:to|for|with)\b", re.IGNORECASE)
+_QUALIFIER_CASE_RE = re.compile(r"\b(For|Regarding|About|Re|Under|Within|On)\b")
+_LEADING_ARTICLE_RE = re.compile(r"^(?:the|a|an)\s+", re.IGNORECASE)
 
 
 def canonical_json(obj: Any) -> str:
@@ -118,6 +139,9 @@ def canonical_json(obj: Any) -> str:
     json.dumps(..., sort_keys=True) (saia.py:595-603 et al.); never use
     Spark's to_json for these columns."""
     return json.dumps(obj, sort_keys=True)
+
+
+_EMPTY_PAYLOAD_JSON = canonical_json({})
 
 
 # --- span segmentation (saia.py:1581-1604) -----------------------------------
@@ -219,7 +243,7 @@ def _assemble_claim(
         "object_entity_type": obj.entity_type if obj else None,
         "grounding_json": canonical_json(grounding),
         "value_text": value_text,
-        "payload_json": canonical_json({}),
+        "payload_json": _EMPTY_PAYLOAD_JSON,
         "scope_type": ctx.scope_type,
         "scope_id": ctx.scope_id,
         "temporal_start": temporal.get("temporal_start"),
@@ -445,7 +469,7 @@ def _meetings(span: str, ctx: MessageContext, catalog: Optional[EntityCatalog], 
         return []
     temporal = resolve_temporal(span, ctx.sent_at, ctx.timezone)
     subject_raw = None
-    if re.search(r"\bwe\b", span, re.IGNORECASE) or re.search(r"\blet'?s\b", span, re.IGNORECASE):
+    if _WE_RE.search(span) or _LETS_RE.search(span):
         subject_raw = "we"
     subject = group_or_scope_subject(ctx, catalog, raw=subject_raw)
     normalized = event
@@ -473,7 +497,7 @@ def _meetings(span: str, ctx: MessageContext, catalog: Optional[EntityCatalog], 
 # --- commitment body post-processing (saia.py:1607-1628, 1716-1779) -----------
 
 def _split_context_fragments(body: str) -> tuple[str, list[str]]:
-    parts = [collapse_ws(p) for p in re.split(r"\s*;\s*", body) if collapse_ws(p)]
+    parts = [collapse_ws(p) for p in _SEMI_SPLIT_RE.split(body) if collapse_ws(p)]
     if not parts:
         return body, []
     main = parts[0]
@@ -492,18 +516,18 @@ def _split_context_fragments(body: str) -> tuple[str, list[str]]:
 def _recipient_of(body: str, ctx: MessageContext, catalog: Optional[EntityCatalog]) -> tuple[Resolution, Optional[str]]:
     """Recipient detection inside a commitment body (saia.py:954-976)."""
     lowered = body.lower()
-    if re.match(r"^\s*you\b", lowered):
+    if _LEADING_YOU_RE.match(lowered):
         return resolve_reference("you", ctx, catalog, allow_pronouns=True), None
-    rel_you = re.search(r"\b(?P<relation>to|with|for)\s+you\b", lowered)
+    rel_you = _REL_YOU_RE.search(lowered)
     if rel_you:
         return (
             resolve_reference("you", ctx, catalog, allow_pronouns=True),
             rel_you.group("relation").lower(),
         )
-    leading = re.match(rf"^\s*(?P<name>{_CAPITALIZED_NAME})\b", body)
+    leading = _LEADING_NAME_RE.match(body)
     if leading:
         return resolve_reference(leading.group("name"), ctx, catalog, allow_pronouns=False), None
-    related = re.search(rf"\b(?P<relation>to|with|for)\s+(?P<name>{_CAPITALIZED_NAME})\b", body)
+    related = _REL_NAME_RE.search(body)
     if related:
         return (
             resolve_reference(related.group("name"), ctx, catalog, allow_pronouns=False),
@@ -524,29 +548,24 @@ def _drop_recipient_tokens(text: str, recipient_raw: Optional[str], relation: Op
             )
         out = re.sub(rf"\b(?:to|with|for)\s+{re.escape(normalized)}\b", "", out, flags=re.IGNORECASE)
     else:
-        out = re.sub(r"^\s*you\b", "", out, flags=re.IGNORECASE)
-        out = re.sub(r"\b(?:to|with|for)\s+you\b", "", out, flags=re.IGNORECASE)
+        out = _LEADING_YOU_CI_RE.sub("", out)
+        out = _REL_YOU_CI_RE.sub("", out)
     return collapse_ws(out)
 
 
 def _tidy_item_text(text: str) -> str:
     """Dangling-preposition / correction-marker cleanup (saia.py:1750-1767)."""
     cleaned = collapse_ws(text)
-    cleaned = re.sub(
-        r"\b(?:by|at|on|before|after|around)\s+(for|regarding|about|re|under|within|on)\b",
-        r"\1",
-        cleaned,
-        flags=re.IGNORECASE,
-    )
+    cleaned = _DANGLING_PREP_PAIR_RE.sub(r"\1", cleaned)
     while cleaned:
-        step = re.sub(r"(?:,\s*)?\binstead\b\s*$", "", cleaned, flags=re.IGNORECASE)
-        step = re.sub(r"\b(?:by|before|after|at|on|to|for|with|around)\b\s*$", "", step, flags=re.IGNORECASE)
-        step = re.sub(r"^\s*(?:to|for|with)\b", "", step, flags=re.IGNORECASE)
+        step = _TRAILING_INSTEAD_RE.sub("", cleaned)
+        step = _TRAILING_PREP_RE.sub("", step)
+        step = _LEADING_PREP_RE.sub("", step)
         step = collapse_ws(step)
         if step == cleaned:
             break
         cleaned = step
-    return re.sub(r"\b(For|Regarding|About|Re|Under|Within|On)\b", lambda m: m.group(0).lower(), cleaned)
+    return _QUALIFIER_CASE_RE.sub(lambda m: m.group(0).lower(), cleaned)
 
 
 def _implicit_relation(verb: str) -> Optional[str]:
@@ -574,7 +593,7 @@ def _commitment_claim(
     item = strip_temporal_tokens(body)
     item = _drop_recipient_tokens(item, recipient.raw, relation)
     item = _tidy_item_text(item)
-    item = re.sub(r"^(?:the|a|an)\s+", "", item, flags=re.IGNORECASE)
+    item = _LEADING_ARTICLE_RE.sub("", item, count=1)
     item = collapse_ws(item)
     if fragments:
         item = collapse_ws(" ".join([item, *fragments]))
@@ -629,6 +648,25 @@ def _commitments(span: str, ctx: MessageContext, catalog: Optional[EntityCatalog
 
 
 _EXTRACTOR_CASCADE = (_requests, _reports_to, _approvals, _statuses, _assignments, _meetings, _commitments)
+
+# Cheap necessary-condition gates on span.lower(): each extractor's trigger
+# regex cannot match unless one of these literals occurs in the span (e.g.
+# both APPROVAL patterns require approved/approves/authorized/authorised),
+# so skipping the regex pass when the literal is absent cannot change the
+# output. Pinned by test_extractor_gates_are_necessary_conditions.
+_EXTRACTOR_GATES: dict[Any, tuple[str, ...]] = {
+    _requests: ("you",),                                     # (can|could|would|will)\s+you
+    _reports_to: ("reports",),                               # \breports\s+to\b
+    _approvals: ("approv", "authori"),                       # approved|approves|authorized|authorised
+    _statuses: (                                             # the STATUS_RE status alternation
+        "track", "delayed", "blocked", "complete", "pending",
+        "down", "offline", "degraded", "up", "unavailable",
+    ),
+    _assignments: ("assigned", "working"),                   # assigned\s+to | working\s+on
+    _meetings: ("meet", "call", "discussion", "review"),     # MEETING_NOUN_RE / MEET_VERB_RE
+    _commitments: ("'ll", "will", "should", "must"),         # I('ll|\s+will) / will|should|must
+}
+_GATED_CASCADE = tuple((ex, _EXTRACTOR_GATES[ex]) for ex in _EXTRACTOR_CASCADE)
 
 
 # --- identities & keys (saia.py:1015-1070) ------------------------------------
@@ -690,7 +728,7 @@ def canonical_key_for(claim: dict[str, Any]) -> str:
 
 def _payload_of(claim: dict[str, Any]) -> dict[str, Any]:
     raw = claim.get("payload_json")
-    if not raw:
+    if not raw or raw == _EMPTY_PAYLOAD_JSON:
         return {}
     if isinstance(raw, dict):
         return dict(raw)
@@ -747,7 +785,13 @@ def extract_claims(
     claims: list[dict[str, Any]] = []
     seen: set[str] = set()
     for span in split_claim_spans(text):
-        for extractor in _EXTRACTOR_CASCADE:
+        low = span.lower()
+        for extractor, gate in _GATED_CASCADE:
+            for tok in gate:
+                if tok in low:
+                    break
+            else:
+                continue
             for claim in extractor(span, ctx, catalog, created_at):
                 key = claim_dedupe_key(claim)
                 if key in seen:

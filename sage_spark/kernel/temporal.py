@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import re
 from datetime import date, datetime, time, timedelta, timezone
+from functools import lru_cache
 
 DEFAULT_TZ = "UTC"
 
@@ -53,9 +54,11 @@ _PREP_BEFORE_CLOCK_RE = re.compile(
 )
 
 
+@lru_cache(maxsize=4096)
 def parse_iso_utc(value: str) -> datetime:
     """ISO-8601 parse with Z suffix support; naive values assumed UTC
-    (saia.py:2163-2169)."""
+    (saia.py:2163-2169). Cached: every claim of a document resolves against
+    the same sent_at anchor, and datetime is immutable so sharing is safe."""
     if value.endswith("Z"):
         value = value[:-1] + "+00:00"
     dt = datetime.fromisoformat(value)
@@ -96,7 +99,10 @@ def resolve_temporal(text: str, anchor_iso: str, tz_name: str = DEFAULT_TZ) -> d
     granularity = "unresolved"
     explicit = _ISO_DATE_RE.search(lowered)
     if explicit:
-        day = datetime.strptime(explicit.group(1), "%Y-%m-%d").date()
+        # date.fromisoformat accepts exactly the strptime("%Y-%m-%d") surface
+        # for \d{4}-\d{2}-\d{2} inputs (same values, same ValueError set) and
+        # skips strptime's per-call format interpretation.
+        day = date.fromisoformat(explicit.group(1))
         granularity = "date"
     elif "today" in lowered:
         day, granularity = anchor.date(), "date"

@@ -239,3 +239,64 @@ def test_prepare_text_parity():
     ]
     for s in samples:
         assert clean_message_text(s) == saia._prepare_text(s)
+
+
+def test_extractor_gates_are_necessary_conditions():
+    """The cheap substring gates in front of each extractor must never skip a
+    span its regexes could match: with every gate literal absent from a span,
+    the extractor must return []. Built adversarially — near-miss spellings of
+    every trigger word — so a wrong gate fails loudly here rather than as a
+    silently dropped claim."""
+    from sage_spark.kernel.claims import _EXTRACTOR_GATES, _GATED_CASCADE
+
+    ctx = _our_context(DIRECT, "2026-04-01T10:00:00Z", "chat_message", "gate-probe")
+    near_misses = [
+        "Alice repor ts to Bob",  # split trigger token
+        "The budget was appro ved yesterday",
+        "The server is offl ine and the pipeline is deg raded",
+        "Carol is assig ned to the mobile app",
+        "I wil send the report tomorrow",  # 'wil' not 'will'
+        "Let us mee t at 5pm",
+        "Can yo u share the roadmap",
+        "Bob shoul d update the roadmap",
+        "The api gateway is do wn",
+        "trac king the rollout",  # contains 'track'? no: 'trac king'
+        "",
+    ]
+    for span in near_misses:
+        low = span.lower()
+        for extractor, gate in _GATED_CASCADE:
+            if any(tok in low for tok in gate):
+                continue  # gate lets it through: regex pass runs as before
+            assert extractor(span, ctx, CATALOG, "2026-05-01T00:00:00+00:00") == [], (
+                extractor.__name__,
+                span,
+            )
+    # and on a trigger-rich battery the gated cascade finds exactly what the
+    # ungated one does (extract_claims vs running every extractor directly)
+    for sentence in SENTENCES:
+        ungated = []
+        seen = set()
+        from sage_spark.kernel.claims import (
+            _EXTRACTOR_CASCADE,
+            claim_dedupe_key,
+            claim_identity,
+            canonical_key_for,
+            split_claim_spans,
+        )
+
+        for span in split_claim_spans(clean_message_text(sentence)):
+            for extractor in _EXTRACTOR_CASCADE:
+                for claim in extractor(span, ctx, CATALOG, "2026-05-01T00:00:00+00:00"):
+                    key = claim_dedupe_key(claim)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    ungated.append(claim)
+        for claim in ungated:
+            claim["claim_id"] = claim_identity(ctx.doc_id, claim)
+            claim["canonical_key"] = canonical_key_for(claim)
+        gated = extract_claims(
+            clean_message_text(sentence), ctx, CATALOG, created_at="2026-05-01T00:00:00+00:00"
+        )
+        assert gated == ungated, sentence
