@@ -951,6 +951,25 @@ def test_canonicalize_uncontested_fast_path_matches_serial_replay(spark):
         claim("k-app", "c19", 1, claim_type="APPROVAL_STATE", predicate="p2"),
         # key with a store fact + one claim: MUST walk (not a singleton)
         claim("k-store", "c20", 0),
+        # r6 all-equal fast-path boundaries:
+        # equal under None=='' coercion (insert + confirm, one fact)
+        claim("k-eq-null", "c21", 0, object_key=None, temporal_start=None),
+        claim("k-eq-null", "c22", 1, object_key="", temporal_start=""),
+        # non-promotable rows interleaved around an equal pair
+        claim("k-eq-mix", "c23", 0, graph_worthy=False),
+        claim("k-eq-mix", "c24", 1),
+        claim("k-eq-mix", "c25", 2, resolution_status="pending"),
+        claim("k-eq-mix", "c26", 3),
+        # differs ONLY in a non-APPROVAL equality field -> supersede walk
+        claim("k-neq-gran", "c27", 0, temporal_granularity="date"),
+        claim("k-neq-gran", "c28", 1, temporal_granularity="datetime"),
+        # APPROVAL_STATE: same value_text but different subject_key still
+        # confirms (the special comparator ignores the 9-field set)
+        claim("k-app2", "c29", 0, claim_type="APPROVAL_STATE", subject_key="a"),
+        claim("k-app2", "c30", 1, claim_type="APPROVAL_STATE", subject_key="b"),
+        # APPROVAL_STATE with different value_text -> walk (supersede)
+        claim("k-app3", "c31", 0, claim_type="APPROVAL_STATE", value_text="approved"),
+        claim("k-app3", "c32", 1, claim_type="APPROVAL_STATE", value_text="revoked"),
     ]
     claims_df = spark.createDataFrame(
         [tuple(r[c] for c in _CLAIM_REPLAY_COLS) for r in rows],
