@@ -26,10 +26,13 @@ from .entities import (
     Resolution,
     group_or_scope_subject,
     resolution_label,
-    resolve_reference,
-    resolved_sender,
     unresolved,
 )
+
+# every resolution in the cascade goes through the per-catalog memo
+# (entities.resolve_reference_cached): same pure functions, dict-hit fast
+from .entities import resolve_reference_cached as resolve_reference  # noqa: E402
+from .entities import resolved_sender_cached as resolved_sender  # noqa: E402
 from .temporal import (
     AT_CLOCK_RE,
     CLOCK_RE,

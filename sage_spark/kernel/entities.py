@@ -93,7 +93,7 @@ class EntityCatalog:
     candidates ordered by dimension insertion order.
     """
 
-    __slots__ = ("_by_key", "_person_name_by_id", "_person_name_by_email", "_group_name_by_id")
+    __slots__ = ("_by_key", "_person_name_by_id", "_person_name_by_email", "_group_name_by_id", "_memo")
 
     def __init__(
         self,
@@ -135,6 +135,10 @@ class EntityCatalog:
         self._person_name_by_id = name_by_id
         self._person_name_by_email = name_by_email
         self._group_name_by_id = group_names
+        # pure-function memo for the cached resolver wrappers below; lives
+        # and dies with this catalog instance (per Spark task), so a reused
+        # object address can never serve stale entries
+        self._memo: dict = {}
 
     def lookup(self, value: Optional[str]) -> list[dict[str, Any]]:
         if not value:
@@ -348,6 +352,54 @@ def resolve_reference(
         status="resolved",
         display_name=humanize_label(fallback),
     )
+
+
+_MEMO_MAX = 1 << 16
+
+
+def resolve_reference_cached(
+    raw: str,
+    ctx: MessageContext,
+    catalog: Optional[EntityCatalog],
+    *,
+    allow_pronouns: bool,
+) -> Resolution:
+    """Memoized ``resolve_reference``. The resolution is a pure function of
+    (raw, allow_pronouns, the five ctx fields the cascade reads, catalog
+    contents), and mention strings repeat heavily within a partition, so the
+    extraction kernel's per-claim resolutions collapse to dict hits.
+    ``Resolution`` is a NamedTuple — sharing one instance across claims is
+    safe. The memo hangs off the catalog instance (per-task lifetime,
+    bounded size); catalog-less calls just compute."""
+    if catalog is None:
+        return resolve_reference(raw, ctx, catalog, allow_pronouns=allow_pronouns)
+    key = (
+        raw, allow_pronouns, ctx.sender_id, ctx.conversation_type,
+        ctx.receiver_ids, ctx.group_id, ctx.source_kind,
+    )
+    memo = catalog._memo
+    res = memo.get(key)
+    if res is None:
+        if len(memo) >= _MEMO_MAX:
+            memo.clear()
+        res = memo[key] = resolve_reference(raw, ctx, catalog, allow_pronouns=allow_pronouns)
+    return res
+
+
+def resolved_sender_cached(
+    ctx: MessageContext, catalog: Optional[EntityCatalog], raw: Optional[str] = None
+) -> Resolution:
+    """Memoized ``resolved_sender`` (reads only ctx.sender_id)."""
+    if catalog is None:
+        return resolved_sender(ctx, catalog, raw=raw)
+    key = ("__sender__", raw, ctx.sender_id)
+    memo = catalog._memo
+    res = memo.get(key)
+    if res is None:
+        if len(memo) >= _MEMO_MAX:
+            memo.clear()
+        res = memo[key] = resolved_sender(ctx, catalog, raw=raw)
+    return res
 
 
 def resolution_label(res: Optional[Resolution], fallback: Optional[str] = None) -> str:
