@@ -73,7 +73,25 @@ def next_weekday_after(start: date, weekday: int) -> date:
     return start + timedelta(days=7 if delta == 0 else delta)
 
 
+_RESOLVE_MEMO: dict = {}
+_EXPR_MEMO: dict = {}
+_TEMPORAL_MEMO_MAX = 1 << 15
+
+
 def resolve_temporal(text: str, anchor_iso: str, tz_name: str = DEFAULT_TZ) -> dict:
+    """Memoizing wrapper around the pure resolution below: several claims of
+    one span re-resolve the same (text, anchor) pair. Returns a fresh dict
+    per call so callers can never alias each other's result."""
+    key = (text, anchor_iso, tz_name)
+    hit = _RESOLVE_MEMO.get(key)
+    if hit is None:
+        if len(_RESOLVE_MEMO) >= _TEMPORAL_MEMO_MAX:
+            _RESOLVE_MEMO.clear()
+        hit = _RESOLVE_MEMO[key] = _resolve_temporal(text, anchor_iso, tz_name)
+    return dict(hit)
+
+
+def _resolve_temporal(text: str, anchor_iso: str, tz_name: str = DEFAULT_TZ) -> dict:
     """Map a free-text temporal mention to {temporal_start, temporal_end,
     temporal_granularity, timezone} (saia.py:414-494).
 
@@ -161,6 +179,16 @@ def resolve_temporal(text: str, anchor_iso: str, tz_name: str = DEFAULT_TZ) -> d
 
 
 def temporal_expressions(text: str) -> list[str]:
+    """Memoizing wrapper (fresh list per call) — see resolve_temporal."""
+    hit = _EXPR_MEMO.get(text)
+    if hit is None:
+        if len(_EXPR_MEMO) >= _TEMPORAL_MEMO_MAX:
+            _EXPR_MEMO.clear()
+        hit = _EXPR_MEMO[text] = _temporal_expressions(text)
+    return list(hit)
+
+
+def _temporal_expressions(text: str) -> list[str]:
     """Non-overlapping temporal surface forms in source order, longest-first
     on ties, case-insensitively deduped (saia.py:2134-2151)."""
     hits: list[tuple[int, int, str]] = []
