@@ -122,12 +122,16 @@ def parse_image_header(data: bytes) -> tuple[str, int, int, int, int] | None:
     return None
 
 
-def _decode_image(payload: bytes, strict: bool) -> tuple[str, int, int, int, int]:
+def _decode_image(
+    payload: bytes, strict: bool, digest: bytes | None = None
+) -> tuple[str, int, int, int, int]:
     """Header decode with an environment-gated fallback: recognized
     containers parse for real (parse_image_header); anything else is where
     the pixel-level path (Pillow/cv2, absent here) would take over — strict
     mode raises, test mode derives a clearly-fake deterministic shape from
-    the content hash so the plumbing stays testable end-to-end."""
+    the content hash so the plumbing stays testable end-to-end. Callers
+    that already hold the payload's sha256 pass it via ``digest`` so the
+    fallback never re-hashes the payload."""
     parsed = parse_image_header(payload or b"")
     if parsed is not None:
         return parsed
@@ -137,7 +141,8 @@ def _decode_image(payload: bytes, strict: bool) -> tuple[str, int, int, int, int
             "requires Pillow/opencv, not installed in this container — deploy "
             "with the media extras to enable"
         )
-    digest = hashlib.sha256(payload or b"").digest()
+    if digest is None:
+        digest = hashlib.sha256(payload or b"").digest()
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
     return ("unknown", width, height, 8, 3)
@@ -154,15 +159,19 @@ def extract_image_features(media: DataFrame, *, strict: bool = False, embed_dim:
             rows = []
             for media_id, payload in zip(batch["media_id"], batch["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                fmt, width, height, bit_depth, channels = _decode_image(data, strict)
+                # one sha256 pass per payload: the digest seeds the stub
+                # embedding, .hex() IS hexdigest(), and the decode fallback
+                # reuses it — the payload hash dominates per-row cost on
+                # MB-size media (guide §4 per-task work)
                 digest = hashlib.sha256(data).digest()
+                fmt, width, height, bit_depth, channels = _decode_image(data, strict, digest=digest)
                 rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
                 vec = rng.standard_normal(embed_dim)
                 vec = (vec / (np.linalg.norm(vec) or 1.0)).astype(np.float32)
                 rows.append(
                     {
                         "media_id": media_id,
-                        "content_sha256": hashlib.sha256(data).hexdigest(),
+                        "content_sha256": digest.hex(),
                         "fmt": fmt,
                         "width": width,
                         "height": height,
@@ -205,11 +214,14 @@ def parse_audio_header(data: bytes) -> tuple[str, int, int, int, int] | None:
     return ("wav", sample_rate, n_channels, bits, n_data // block_align)
 
 
-def _decode_audio(payload: bytes, strict: bool) -> tuple[str, int, int, int, int]:
+def _decode_audio(
+    payload: bytes, strict: bool, digest: bytes | None = None
+) -> tuple[str, int, int, int, int]:
     """Header decode with an environment-gated fallback, the audio twin of
     _decode_image: recognized WAV containers parse for real; anything else
     (mp3/flac/ogg need a codec library, absent here) raises in strict mode
-    or derives a clearly-fake deterministic shape from the content hash."""
+    or derives a clearly-fake deterministic shape from the content hash
+    (reused via ``digest`` when the caller already computed it)."""
     parsed = parse_audio_header(payload or b"")
     if parsed is not None:
         return parsed
@@ -219,7 +231,8 @@ def _decode_audio(payload: bytes, strict: bool) -> tuple[str, int, int, int, int
             "(mp3/flac/ogg) requires libsndfile/ffmpeg, not installed in "
             "this container — deploy with the media extras to enable"
         )
-    digest = hashlib.sha256(payload or b"").digest()
+    if digest is None:
+        digest = hashlib.sha256(payload or b"").digest()
     return ("unknown", 16000, 1 + digest[0] % 2, 16, 1000 + digest[1] * 16)
 
 
@@ -236,15 +249,16 @@ def extract_audio_features(media: DataFrame, *, strict: bool = False, embed_dim:
             rows = []
             for media_id, payload in zip(batch["media_id"], batch["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                fmt, rate, channels, bits, frames = _decode_audio(data, strict)
+                # one sha256 pass per payload (see extract_image_features)
                 digest = hashlib.sha256(data).digest()
+                fmt, rate, channels, bits, frames = _decode_audio(data, strict, digest=digest)
                 rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
                 vec = rng.standard_normal(embed_dim)
                 vec = (vec / (np.linalg.norm(vec) or 1.0)).astype(np.float32)
                 rows.append(
                     {
                         "media_id": media_id,
-                        "content_sha256": hashlib.sha256(data).hexdigest(),
+                        "content_sha256": digest.hex(),
                         "fmt": fmt,
                         "sample_rate": rate,
                         "n_channels": channels,
@@ -272,15 +286,22 @@ def sample_video_frames(media: DataFrame, *, every_ms: int = 1000, max_frames: i
                 data = bytes(payload) if payload is not None else b""
                 if strict:
                     raise NotImplementedError("video decode requires pyav/ffmpeg; not installed here")
-                digest = hashlib.sha256(data).digest()
+                # hash the payload ONCE and fork per-frame states from it:
+                # sha256(data + suffix) == copy-of-sha256(data).update(suffix)
+                # (streaming-hash property), so an 8-frame sample no longer
+                # re-hashes a MB-size payload 8 times
+                base = hashlib.sha256(data)
+                digest = base.digest()
                 n = 1 + digest[2] % max_frames
                 for i in range(n):
+                    h = base.copy()
+                    h.update(i.to_bytes(4, "big"))
                     rows.append(
                         {
                             "media_id": media_id,
                             "frame_index": i,
                             "frame_ts_ms": i * every_ms,
-                            "frame_sha256": hashlib.sha256(data + i.to_bytes(4, "big")).hexdigest(),
+                            "frame_sha256": h.hexdigest(),
                         }
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields])

@@ -504,6 +504,33 @@ def test_multimodal_plumbing(spark):
         extract_image_features(media, strict=True).collect()
 
 
+def test_multimodal_single_hash_pass_matches_direct_hashes(spark):
+    """r6: the kernels now hash each payload ONCE (digest.hex() for
+    content_sha256, a copied hash state per video frame) — the emitted
+    hashes must still equal an independent full recomputation of the
+    original per-field formulas, byte for byte."""
+    import hashlib
+
+    payloads = [b"fakepng", b"x" * 100_000, b""]
+    media = spark.createDataFrame(
+        [(f"m-{i}", "d", t, "application/octet-stream", p, None)
+         for i, p in enumerate(payloads) for t in ("image", "audio", "video")],
+        MEDIA_SCHEMA,
+    )
+    want = {f"m-{i}": hashlib.sha256(p).hexdigest() for i, p in enumerate(payloads)}
+    for fn in (extract_image_features, extract_audio_features):
+        got = {r["media_id"]: r["content_sha256"] for r in fn(media).collect()}
+        assert got == want
+    frames = sample_video_frames(media).collect()
+    assert frames
+    by_id = {f"m-{i}": p for i, p in enumerate(payloads)}
+    for f in frames:
+        data = by_id[f["media_id"]]
+        assert f["frame_sha256"] == hashlib.sha256(
+            data + f["frame_index"].to_bytes(4, "big")
+        ).hexdigest()
+
+
 def test_parse_image_header_formats_and_malformed():
     """Pure-function coverage for the stdlib header parser: PNG/GIF/JPEG/BMP
     plus malformed/truncated payloads."""
